@@ -1,0 +1,176 @@
+"""Runtime code registry.
+
+Replaces the reference's compile-time ``#define CODE 1200`` dispatch
+(``code/gpu_fixed/matrix/code.h:1``, ``matrix/constantes_gpu.h:17-76``) with
+named runtime loading.  Code definitions live under ``codes/data/`` as
+compact QC base-matrix JSON or .npz edge tables (see
+``tools/import_reference_matrices.py``), or are generated synthetically.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from .code import DegreeClass, LdpcCode, Layer, QCRow, compute_layers
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+__all__ = ["list_codes", "load_code", "make_qc_code", "make_random_regular_code"]
+
+
+def list_codes() -> list[str]:
+    names = []
+    for fn in sorted(os.listdir(_DATA_DIR)):
+        base, ext = os.path.splitext(fn)
+        if ext in (".json", ".npz") and not base.startswith("encoder"):
+            names.append(base)
+    return names
+
+
+def _load_qc_json(path: str) -> LdpcCode:
+    doc = json.load(open(path))
+    assert doc["format"] == "qc-base-v1"
+    Z = doc["Z"]
+    classes = tuple(DegreeClass(d, c) for d, c in doc["classes"])
+    rows = doc["rows"]
+    # Rebuild per-class index tables from the QC rows (rows are stored in
+    # reference schedule order; degree classes are contiguous runs of rows).
+    class_idx = []
+    it = iter(rows)
+    z = np.arange(Z, dtype=np.int64)[:, None]
+    for dc in classes:
+        n_rows = dc.count // Z
+        assert dc.count % Z == 0
+        blocks = []
+        for _ in range(n_rows):
+            r = next(it)
+            cols = np.asarray(r["cols"], dtype=np.int64)
+            shifts = np.asarray(r["shifts"], dtype=np.int64)
+            blocks.append(cols[None, :] * Z + (shifts[None, :] + z) % Z)
+        class_idx.append(np.concatenate(blocks, axis=0).astype(np.int32))
+    return LdpcCode(
+        name=doc["name"],
+        N=doc["N"],
+        K=doc["K"],
+        classes=classes,
+        class_idx=tuple(class_idx),
+        Z=Z,
+    )
+
+
+def _load_npz(path: str, name: str) -> LdpcCode:
+    d = np.load(path)
+    classes = [(int(a), int(b)) for a, b in d["classes"]]
+    return LdpcCode.from_edges(
+        name, int(d["N"]), int(d["K"]), classes, d["edges"],
+        detect_qc=bool(int(d["Z"])),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def load_code(name: str) -> LdpcCode:
+    """Load a named code from the data registry.
+
+    Accepts registry names ("1944x972") or paths to .json/.npz/.alist files.
+    """
+    if os.path.sep in name or name.endswith((".json", ".npz", ".alist")):
+        path = name
+        base = os.path.splitext(os.path.basename(name))[0]
+    else:
+        base = name
+        for ext in (".json", ".npz"):
+            path = os.path.join(_DATA_DIR, name + ext)
+            if os.path.exists(path):
+                break
+        else:
+            raise KeyError(
+                f"unknown code {name!r}; available: {list_codes()}"
+            )
+    if path.endswith(".json"):
+        return _load_qc_json(path)
+    if path.endswith(".alist"):
+        from .alist import load_alist
+
+        return load_alist(path)
+    return _load_npz(path, base)
+
+
+def make_qc_code(
+    name: str,
+    base: np.ndarray,
+    Z: int,
+    K: Optional[int] = None,
+) -> LdpcCode:
+    """Expand a QC base matrix into an LdpcCode.
+
+    ``base`` is [rows, cols] with -1 for absent blocks and the cyclic shift
+    otherwise.  Rows are emitted in descending-degree order grouped into
+    degree classes (the reference's DEG_1/DEG_2 convention).
+    """
+    base = np.asarray(base)
+    n_rows, n_cols = base.shape
+    N = n_cols * Z
+    K = K if K is not None else N - n_rows * Z
+    rows = []
+    for r in range(n_rows):
+        cols = np.nonzero(base[r] >= 0)[0]
+        shifts = base[r][cols] % Z
+        rows.append((cols.astype(np.int64), shifts.astype(np.int64)))
+    rows.sort(key=lambda cs: -len(cs[0]))
+    z = np.arange(Z, dtype=np.int64)[:, None]
+    by_deg: dict[int, list[np.ndarray]] = {}
+    for cols, shifts in rows:
+        blk = cols[None, :] * Z + (shifts[None, :] + z) % Z
+        by_deg.setdefault(len(cols), []).append(blk)
+    classes = []
+    class_idx = []
+    for deg in sorted(by_deg, reverse=True):
+        blocks = np.concatenate(by_deg[deg], axis=0).astype(np.int32)
+        classes.append(DegreeClass(deg, blocks.shape[0]))
+        class_idx.append(blocks)
+    return LdpcCode(
+        name=name, N=N, K=K, classes=tuple(classes),
+        class_idx=tuple(class_idx), Z=Z,
+    )
+
+
+def make_random_regular_code(
+    N: int, K: int, deg: int, seed: int = 0, name: Optional[str] = None
+) -> LdpcCode:
+    """Random (deg_v, deg_c)-regular Gallager-style code for benchmarks.
+
+    Counterpart of the reference's unstructured codes (e.g. 4000x2000 with
+    CN degree 6, ``matrix/4000x2000``).  Built by random edge permutation
+    with collision retry; not guaranteed girth-optimised — intended for
+    throughput work and synthetic tests, not channel-quality claims.
+    """
+    n_checks = N - K
+    M = n_checks * deg
+    assert M % N == 0, "variable degree must be integral"
+    dv = M // N
+    rng = np.random.default_rng(seed)
+    stubs = np.repeat(np.arange(N, dtype=np.int32), dv)
+    rng.shuffle(stubs)
+    idx = stubs.reshape(n_checks, deg)
+    # repair duplicate VNs within a check by swapping with random other rows
+    for _ in range(100 * n_checks):
+        bad = [c for c in range(n_checks) if np.unique(idx[c]).size < deg]
+        if not bad:
+            return LdpcCode.from_edges(
+                name or f"rand{N}x{K}d{deg}s{seed}", N, K,
+                [(deg, n_checks)], idx.ravel(), detect_qc=False,
+            )
+        for c in bad:
+            vals, counts = np.unique(idx[c], return_counts=True)
+            dup = vals[counts > 1][0]
+            j = int(np.nonzero(idx[c] == dup)[0][0])
+            c2 = int(rng.integers(n_checks))
+            j2 = int(rng.integers(deg))
+            if idx[c2, j2] not in idx[c] and dup not in np.delete(idx[c2], j2):
+                idx[c, j], idx[c2, j2] = idx[c2, j2], idx[c, j]
+    raise RuntimeError("failed to sample a simple regular code")

@@ -1,0 +1,116 @@
+"""Bit-exactness of the batched JAX layered decoder vs the NumPy golden model.
+
+The golden model reproduces the reference's scalar fixed-point oracle
+(CDecoder_OMS_fixed_x86.cpp); the JAX decoder must match it bit-for-bit at
+equal iteration count on every algorithm variant and schedule.
+"""
+
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.codes.registry import load_code, make_random_regular_code
+from ldpcgputegra_tpu.golden.decoder import GoldenParams, decode_golden
+from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
+
+
+def _random_llrs(n, b, seed=0):
+    rng = np.random.default_rng(seed)
+    # channel-like int8 LLRs in the quantizer range +/-31, biased negative
+    # (all-zero codeword convention: bit 0 -> negative LLR)
+    x = rng.normal(-1.0, 0.8, size=(b, n))
+    return np.clip(8.0 * x, -31, 31).astype(np.int8)
+
+
+CASES = [
+    ("576x288", "OMS", "pre", "reference"),
+    ("576x288", "MS", "post", "reference"),
+    ("576x288", "NMS", "post", "reference"),
+    ("576x288", "2NMS", "post", "reference"),
+    ("1944x972", "OMS", "pre", "reference"),
+]
+
+
+@pytest.mark.parametrize("name,algo,minclamp,schedule", CASES)
+def test_qc_decoder_bit_exact(name, algo, minclamp, schedule):
+    code = load_code(name)
+    B = 4
+    llrs = _random_llrs(code.N, B, seed=42)
+    spec = LayeredSpec(algo=algo, iters=5, minclamp=minclamp, schedule=schedule)
+    dec = make_layered_decoder(code, spec)
+    bits, iters = dec(llrs)
+    bits = np.asarray(bits)
+    assert int(iters) == 5
+    gp = GoldenParams(algo=algo, iters=5, minclamp=minclamp)
+    for b in range(B):
+        ref, _ = decode_golden(code, llrs[b], gp)
+        np.testing.assert_array_equal(bits[b], ref, err_msg=f"frame {b}")
+
+
+def test_gather_path_bit_exact_random_code():
+    """Non-QC code uses the gather path + reference greedy-run schedule."""
+    code = make_random_regular_code(512, 256, 8, seed=3)
+    B = 4
+    llrs = _random_llrs(code.N, B, seed=7)
+    spec = LayeredSpec(algo="OMS", iters=4, schedule="reference")
+    dec = make_layered_decoder(code, spec)
+    bits, _ = dec(llrs)
+    bits = np.asarray(bits)
+    gp = GoldenParams(algo="OMS", iters=4)
+    for b in range(B):
+        ref, _ = decode_golden(code, llrs[b], gp)
+        np.testing.assert_array_equal(bits[b], ref, err_msg=f"frame {b}")
+
+
+def test_colored_schedule_matches_its_own_golden_order():
+    """The colored schedule is a permuted layered order: verify the JAX
+    decoder against a golden model run with the same permuted order."""
+    from ldpcgputegra_tpu.codes.code import DegreeClass, LdpcCode
+    from ldpcgputegra_tpu.codes.schedule import build_layers
+
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    layers = build_layers(code, "colored")
+    # rebuild a code whose reference order IS the colored order
+    idx = np.concatenate([l.idx for l in layers], axis=0)
+    permuted = LdpcCode(
+        name="perm", N=code.N, K=code.K,
+        classes=(DegreeClass(8, idx.shape[0]),),
+        class_idx=(idx,),
+    )
+    B = 2
+    llrs = _random_llrs(code.N, B, seed=11)
+    dec = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=4, schedule="colored"))
+    bits = np.asarray(dec(llrs)[0])
+    gp = GoldenParams(algo="OMS", iters=4)
+    for b in range(B):
+        ref, _ = decode_golden(permuted, llrs[b], gp)
+        np.testing.assert_array_equal(bits[b], ref)
+
+
+def test_noiseless_decode_identity():
+    """Strong all-zero LLRs decode to the all-zero codeword, instantly."""
+    code = load_code("576x288")
+    llrs = np.full((3, code.N), -31, dtype=np.int8)
+    dec = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=10, early_term=True))
+    bits, iters = dec(llrs)
+    assert np.asarray(bits).sum() == 0
+    assert int(iters) == 1
+
+
+def test_early_term_matches_fixed_iters_on_convergence():
+    """Early termination must not change decoded output (frozen updates)."""
+    code = load_code("576x288")
+    llrs = _random_llrs(code.N, 8, seed=13)
+    d_fix = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=10))
+    d_et = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=10, early_term=True))
+    bits_fix = np.asarray(d_fix(llrs)[0])
+    bits_et, iters = d_et(llrs)
+    bits_et = np.asarray(bits_et)
+    # wherever a frame converged, outputs must agree; unconverged frames at
+    # max iters also agree because freezing only applies after convergence
+    from ldpcgputegra_tpu.golden.decoder import syndrome_ok
+
+    for b in range(8):
+        if syndrome_ok(code, bits_et[b]):
+            pass  # converged frames are internally consistent
+    assert int(iters) <= 10
+    np.testing.assert_array_equal(bits_fix, bits_et)
