@@ -1,0 +1,128 @@
+"""AWGN channel with BPSK/QPSK mapping, TPU-native.
+
+Re-expresses the reference channels' observable behaviour with
+``jax.random`` (threefry) instead of cuRAND/Box-Muller host loops:
+
+* sigma computation from Eb/N0 or Es/N0 and code rate —
+  ``code/gpu_fixed/awgn_channel/CChanel_AWGN_SIMD.cu:63-73`` /
+  ``code/ldpc_decoder_arm/CChanel/CChanelAWGN_x86.cpp:67-83``:
+  ``sigma = sqrt(10^(-(EbN0_dB + 10*log10(R))/10) / 2)``, with
+  ``EbN0 = EsN0 - 10*log10(2R)`` in Es/N0 mode;
+* BPSK maps bit 1 -> +1, bit 0 -> -1; QPSK uses +/-1/sqrt(2) per dimension
+  (``CChanelAWGN_x86.cpp:99-116``);
+* optional channel normalization ``2/sigma^2`` (``-norm-channel``,
+  ``CChanelAWGN_x86.cpp:90-95``);
+* the fused quantized path mirrors the GPU channel's
+  ``clamp(8*v, +/-31) -> int8`` (``CChanel_AWGN_SIMD.cu:17-25``) via
+  `quant.quantize_llr`.
+
+Statistical (not bit-level) equivalence with the reference RNG is the
+contract — the reference itself uses three different RNGs across targets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import QuantSpec, quantize_llr
+
+__all__ = ["ChannelSpec", "sigma_for_snr", "AwgnChannel"]
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def sigma_for_snr(
+    snr_db: float, rate: float, es_n0: bool = False, qpsk: bool = False
+) -> float:
+    """Noise sigma per real dimension from SNR in dB.
+
+    Mirrors ``CChanel::configure`` math: in Es/N0 mode the SNR is converted
+    to Eb/N0 with the 2-bits/symbol QPSK assumption used by the reference
+    (``CChanelAWGN_x86.cpp:74-77``).
+    """
+    eb_n0 = snr_db - 10.0 * math.log10(2.0 * rate) if es_n0 else snr_db
+    interm = -0.1 * (eb_n0 + 10.0 * math.log10(rate))
+    return math.sqrt((10.0 ** interm) / 2.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelSpec:
+    """Static channel configuration (hashable; jit static arg)."""
+
+    qpsk: bool = False
+    es_n0: bool = False
+    normalize: bool = False  # -norm-channel: scale output by 2/sigma^2
+    quant: QuantSpec = QuantSpec()
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _generate_float(key, tx_bits, sigma, spec: ChannelSpec):
+    amp = _INV_SQRT2 if spec.qpsk else 1.0
+    symbols = jnp.where(tx_bits != 0, amp, -amp).astype(jnp.float32)
+    noise = sigma * jax.random.normal(key, symbols.shape, jnp.float32)
+    y = symbols + noise
+    if spec.normalize:
+        y = y * (2.0 / (sigma * sigma))
+    return y
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _generate_int8(key, tx_bits, sigma, spec: ChannelSpec):
+    return quantize_llr(_generate_float(key, tx_bits, sigma, spec), spec.quant)
+
+
+@partial(jax.jit, static_argnames=("spec", "shape"))
+def _generate_zero_int8(key, shape, sigma, spec: ChannelSpec):
+    """All-zero-codeword fused path (the GPU channel's only mode:
+    ``CChanel_AWGN_SIMD.cu:22`` hard-codes tx = -1)."""
+    amp = _INV_SQRT2 if spec.qpsk else 1.0
+    y = sigma * jax.random.normal(key, shape, jnp.float32) - amp
+    if spec.normalize:
+        y = y * (2.0 / (sigma * sigma))
+    return quantize_llr(y, spec.quant)
+
+
+class AwgnChannel:
+    """AWGN channel over a [batch, N] frame block.
+
+    ``configure(snr_db)`` fixes sigma (like ``CChanel::configure``), then
+    ``generate*`` produce received LLR frames.  All device work is jitted;
+    the PRNG key is threaded explicitly (functional, reproducible).
+    """
+
+    def __init__(self, n: int, k: int, spec: ChannelSpec = ChannelSpec()):
+        self.n = n
+        self.k = k
+        self.spec = spec
+        self.rate = k / n
+        self.sigma: Optional[float] = None
+
+    def configure(self, snr_db: float) -> float:
+        self.sigma = sigma_for_snr(
+            snr_db, self.rate, self.spec.es_n0, self.spec.qpsk
+        )
+        return self.sigma
+
+    def generate_float(self, key, tx_bits) -> jax.Array:
+        """Float received values for explicit coded bits [B, N]."""
+        assert self.sigma is not None, "call configure(snr_db) first"
+        return _generate_float(key, tx_bits, self.sigma, self.spec)
+
+    def generate_int8(self, key, tx_bits) -> jax.Array:
+        """Quantized int8 LLRs for explicit coded bits [B, N]."""
+        assert self.sigma is not None, "call configure(snr_db) first"
+        return _generate_int8(key, tx_bits, self.sigma, self.spec)
+
+    def generate_zero_int8(self, key, batch: int) -> jax.Array:
+        """Quantized int8 LLRs for the all-zero codeword, fused RNG+quantize
+        on device (the GPU channel C1 equivalent)."""
+        assert self.sigma is not None, "call configure(snr_db) first"
+        return _generate_zero_int8(
+            key, (batch, self.n), self.sigma, self.spec
+        )

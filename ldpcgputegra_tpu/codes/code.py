@@ -170,8 +170,12 @@ class LdpcCode:
     """A QC-LDPC code, runtime equivalent of one reference matrix/ directory."""
 
     name: str
-    N: int  # codeword length  (_N)
-    K: int  # info length      (_K)
+    N: int  # codeword length (_N)
+    # info length = N - n_checks.  NOTE: the reference's ``_K`` macro is the
+    # CHECK count, not the info length (``CTrame::nb_vars`` returns
+    # ``nb_data() - nb_checks()``, code/gpu_fixed/trame/CTrame.cpp:65-67);
+    # loaders translate, so ``K`` here is always true info length.
+    K: int
     classes: tuple[DegreeClass, ...]
     class_idx: tuple[np.ndarray, ...]  # per class: [count, deg] int32
     Z: Optional[int] = None
@@ -210,6 +214,7 @@ class LdpcCode:
         return self.Z is not None and all(l.qc is not None for l in self.layers)
 
     def check_valid(self) -> None:
+        assert self.K == self.N - self.n_checks, "K must be info length"
         for ci, c in zip(self.class_idx, self.classes):
             assert ci.shape == (c.count, c.deg)
             assert ci.min() >= 0 and ci.max() < self.N
@@ -218,13 +223,17 @@ class LdpcCode:
     def from_edges(
         name: str,
         N: int,
-        K: int,
+        K: Optional[int],
         classes: Sequence[tuple[int, int]],
         edges: np.ndarray,
         detect_qc: bool = True,
     ) -> "LdpcCode":
         """Build from the reference's flat representation
-        (deg/count pairs + flat PosNoeudsVariable table)."""
+        (deg/count pairs + flat PosNoeudsVariable table).  ``K`` is the info
+        length; pass None to derive it as N - total checks (the reference's
+        ``_K`` is the check count, NOT the info length)."""
+        if K is None:
+            K = N - sum(count for _, count in classes)
         edges = np.asarray(edges, dtype=np.int32)
         class_idx = []
         off = 0

@@ -53,10 +53,13 @@ def _load_qc_json(path: str) -> LdpcCode:
             shifts = np.asarray(r["shifts"], dtype=np.int64)
             blocks.append(cols[None, :] * Z + (shifts[None, :] + z) % Z)
         class_idx.append(np.concatenate(blocks, axis=0).astype(np.int32))
+    n_checks = sum(dc.count for dc in classes)
     return LdpcCode(
         name=doc["name"],
         N=doc["N"],
-        K=doc["K"],
+        # stored "K" follows the reference's _K = check-count convention;
+        # true info length is N - checks (CTrame.cpp:65-67)
+        K=doc["N"] - n_checks,
         classes=classes,
         class_idx=tuple(class_idx),
         Z=Z,
@@ -66,8 +69,9 @@ def _load_qc_json(path: str) -> LdpcCode:
 def _load_npz(path: str, name: str) -> LdpcCode:
     d = np.load(path)
     classes = [(int(a), int(b)) for a, b in d["classes"]]
+    # stored "K" is the reference's check count; derive true info length
     return LdpcCode.from_edges(
-        name, int(d["N"]), int(d["K"]), classes, d["edges"],
+        name, int(d["N"]), None, classes, d["edges"],
         detect_qc=bool(int(d["Z"])),
     )
 

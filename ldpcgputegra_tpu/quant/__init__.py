@@ -1,0 +1,53 @@
+"""Fixed-point LLR quantization (reference component C4).
+
+Reproduces the observable semantics of the reference conversion stage
+``code/x86/CFixPointConversion/CFastFixConversion.cpp:54-67``: float channel
+LLRs are scaled by ``FACTEUR_BETA`` (default 8 = ``1 << (NB_BITS_MESSAGES/2)``,
+``code/ldpc_decoder_arm/main.cpp:52``), truncated toward zero (C int cast),
+and clamped to the LLR saturation range (default ±31 for 6-bit LLRs,
+``constantes_sse.h:43-49``), yielding int8 storage.
+
+The GPU channel fuses this into noise generation
+(``CChanel_AWGN_SIMD.cu:17-25``: ``(char)fminf(fmaxf(8*v,-31),31)``); the
+same `QuantSpec` drives both paths here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+__all__ = ["QuantSpec", "quantize_llr", "dequantize_llr"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """LLR fixed-point format.
+
+    ``factor``: scale applied before truncation (FACTEUR_BETA).
+    ``bits_llr``: quantizer bit width; saturation = 2**(bits_llr-1) - 1.
+    """
+
+    factor: int = 8
+    bits_llr: int = 6
+
+    @property
+    def sat(self) -> int:
+        return (1 << (self.bits_llr - 1)) - 1
+
+
+def quantize_llr(x: jnp.ndarray, spec: QuantSpec = QuantSpec()) -> jnp.ndarray:
+    """float LLRs -> int8, trunc-toward-zero + saturate (CFastFixConversion).
+
+    C semantics: ``value = (int)(factor * x)`` truncates toward zero, then
+    clamps to [-sat, sat].  XLA's float->int convert also rounds toward zero,
+    so a plain cast after clamping reproduces it bit-exactly.
+    """
+    v = jnp.clip(x * float(spec.factor), -float(spec.sat), float(spec.sat))
+    return v.astype(jnp.int8)
+
+
+def dequantize_llr(q: jnp.ndarray, spec: QuantSpec = QuantSpec()) -> jnp.ndarray:
+    """int8 fixed-point LLRs -> float (inverse scale; lossy)."""
+    return q.astype(jnp.float32) / float(spec.factor)

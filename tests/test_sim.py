@@ -1,0 +1,104 @@
+"""Simulation-harness tests: analyzer accounting, sweep, checkpoint/resume,
+and the statistical BER waterfall (the reference's implicit oracle,
+SURVEY §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.sim.analyzer import ErrorAnalyzer, count_errors
+from ldpcgputegra_tpu.sim.sweep import SweepConfig, run_sweep
+
+
+def test_count_errors_matches_numpy():
+    rng = np.random.default_rng(0)
+    dec = rng.integers(0, 2, size=(16, 100)).astype(np.uint8)
+    ref = rng.integers(0, 2, size=(16, 100)).astype(np.uint8)
+    be, fe = count_errors(dec, ref)
+    err = dec != ref
+    assert be == err.sum()
+    assert fe == (err.any(axis=1)).sum()
+    be0, fe0 = count_errors(np.zeros((4, 10), np.uint8))
+    assert be0 == 0 and fe0 == 0
+
+
+def test_adaptive_fe_limit():
+    a = ErrorAnalyzer(n=1000, k=500, max_fe=160, auto_fe=True)
+    a.add_counts(frames=10, be=50, fe=5)  # BER 5e-3
+    assert a.fe_limit() == 160
+    a.reset()
+    a.add_counts(frames=10_000_000, be=5000, fe=100)  # BER 5e-7
+    assert a.fe_limit() == 80
+    a.reset()
+    a.add_counts(frames=100_000_000, be=5000, fe=100)  # BER 5e-8
+    assert a.fe_limit() == 40
+    b = ErrorAnalyzer(n=1000, k=500, max_fe=160, auto_fe=False)
+    b.add_counts(frames=100_000_000, be=5000, fe=100)
+    assert b.fe_limit() == 160
+
+
+def test_analyzer_accumulate():
+    a = ErrorAnalyzer(n=100, k=50)
+    b = ErrorAnalyzer(n=100, k=50)
+    a.add_counts(10, 20, 3)
+    b.add_counts(5, 7, 1)
+    a.accumulate(b)
+    assert (a.frames, a.bit_errors, a.frame_errors) == (15, 27, 4)
+    assert a.ber == 27 / 1500 and a.fer == 4 / 15
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        code="576x288",
+        algo="OMS",
+        iters=5,
+        snr_min=1.0,
+        snr_max=2.0,
+        snr_step=1.0,
+        batch=128,
+        max_fe=30,
+        max_frames=512,
+        seed=7,
+    )
+    base.update(kw)
+    return SweepConfig(**base)
+
+
+def test_sweep_ber_decreases_with_snr():
+    res = run_sweep(_tiny_cfg(), progress=False)
+    assert len(res.points) == 2
+    p0, p1 = res.points
+    assert p0.snr_db == 1.0 and p1.snr_db == 2.0
+    assert p0.frames >= 128 and p1.frames >= 128
+    # waterfall: higher SNR -> strictly lower BER at these counts
+    assert p1.ber < p0.ber
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    ck = str(tmp_path / "ck.json")
+    met = str(tmp_path / "m.jsonl")
+    cfg = _tiny_cfg(checkpoint=ck, metrics=met)
+    res1 = run_sweep(cfg, progress=False)
+    assert os.path.exists(ck)
+    # second run must reuse completed points (identical counters, no rerun)
+    res2 = run_sweep(cfg, progress=False)
+    for a, b in zip(res1.points, res2.points):
+        assert (a.frames, a.be, a.fe) == (b.frames, b.be, b.fe)
+    recs = [json.loads(l) for l in open(met)]
+    assert sum(r["type"] == "snr_point" for r in recs) == len(res1.points)
+
+
+def test_sweep_qef_cutoff():
+    cfg = _tiny_cfg(snr_min=1.0, snr_max=8.0, snr_step=1.0, qef_fer=1e-6,
+                    max_frames=256, max_fe=1000)
+    res = run_sweep(cfg, progress=False)
+    # at 256 frames/point, a zero-FE point has fer=0 < 1e-6 -> sweep stops
+    assert len(res.points) < 8
+
+
+def test_sweep_real_encoder():
+    cfg = _tiny_cfg(encoder="gf2", max_frames=128, snr_max=1.0)
+    res = run_sweep(cfg, progress=False)
+    assert res.points[0].frames >= 128

@@ -33,6 +33,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from ldpcgputegra_tpu.codes.code import LdpcCode  # noqa: E402
 
 _DEFINE = re.compile(r"#define\s+(\w+)\s+\(?(-?\d+)")
+# encoder tables declare constants as ``int NAME = value;`` instead
+_INT_CONST = re.compile(r"\bint\s+(\w+)\s*=\s*(-?\d+)\s*;")
 
 
 def _strip_comments(text: str) -> str:
@@ -87,6 +89,8 @@ def parse_encoder_table(path: str) -> dict | None:
     raw = open(path, errors="replace").read()
     text = _strip_comments(raw)
     defines = {m.group(1): int(m.group(2)) for m in _DEFINE.finditer(text)}
+    for m in _INT_CONST.finditer(text):
+        defines.setdefault(m.group(1), int(m.group(2)))
     arr = _parse_array(text, r"EncValues")
     if arr is None or "N_LINES" not in defines:
         return None
