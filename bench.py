@@ -23,6 +23,9 @@ BASELINE_MBPS = 131.0  # GTX 680, 3 streams, 10 iters, (4000,2000)
 
 
 def main() -> None:
+    from ldpcgputegra_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec
     from ldpcgputegra_tpu.codes.registry import load_code
     from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
