@@ -1,0 +1,252 @@
+"""Fused layered min-sum decoder as a single Pallas TPU kernel (QC codes).
+
+The entire decode — all iterations, all layers — runs inside one kernel
+with the APP array and every c2v message resident in VMEM; HBM sees one
+read of the LLR block and one write of the hard-decision block per batch
+tile.  This is the TPU-native answer to the reference's CUDA kernel family
+(``code/gpu_fixed/decoder_ms/cuda/CUDA_MS_SIMD.cu:25-248``), whose one
+thread walks every check for 4 int8-packed codewords; here one *chip*
+walks every QC block-row for a whole lane-tile of codewords:
+
+* codewords ride the lane axis (TB per tile, 128-aligned) — the analogue
+  of the 4-codeword int8x4 packing x 128-thread blocks (P1/P2);
+* the APP array is laid out [Nb, Z, TB] (block-column major); the QC
+  structure turns every edge's VN gather into a *static sublane roll* of
+  one [Z, TB] slab — no dynamic indexing anywhere;
+* the layered (turbo) schedule's in-place APP update is preserved exactly:
+  block-rows are processed sequentially, and checks within one block-row
+  touch pairwise-disjoint VNs, so vectorizing over Z x TB is bit-identical
+  to the reference's sequential check loop (SURVEY §7 "hard parts" #1);
+* arithmetic: int16 compute on int8 storage, SAT_VAR=±127 / SAT_MSG=±31
+  (``constantes_sse.h:43-49``), variant math per
+  ``CUDA_{MS,OMS,NMS,2NMS}_SIMD.cu`` — NMS/2NMS multiply-truncate is the
+  integer-exact (x*3)>>2 / (x*7)>>3;
+* optional early termination: per-lane convergence mask freezes finished
+  codewords' APP/messages (the per-codeword generalisation of EARLY_TERM's
+  per-thread break, ``CUDA_2NMS_SIMD.cu:17``), and whole iterations are
+  predicated off once every lane in the tile has converged.
+
+Non-QC codes fall back to the XLA gather path in ``ops.layered``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codes.code import LdpcCode
+from ..golden.decoder import SAT_MSG, SAT_VAR
+from ..ops.layered import LayeredSpec
+
+__all__ = ["make_pallas_decoder", "pallas_supported"]
+
+_CT = jnp.int32  # compute dtype (sublane rotates require 32-bit data)
+_ST = jnp.int8  # storage dtype (messages; APP state is kept int32 in VMEM)
+
+
+def pallas_supported(code: LdpcCode, spec: LayeredSpec) -> bool:
+    """True when every layer of the (reference) schedule is a QC block-row."""
+    if spec.schedule not in ("auto", "reference"):
+        return False
+    return code.Z is not None and all(l.qc is not None for l in code.layers)
+
+
+def _roll(x, s: int, Z: int):
+    """Static cyclic roll along axis 0 (sublanes) of a [Z, TB] tile."""
+    if s % Z == 0:
+        return x
+    return pltpu.roll(x, -s % Z, axis=0)
+
+
+def _f_consts(min1, min2, spec: LayeredSpec):
+    """Message magnitudes (f1 = min edge, f2 = others); integer-exact forms
+    of the variant math in CUDA_{MS,OMS,NMS,2NMS}_SIMD.cu (see ops.layered)."""
+    if spec.algo == "MS":
+        return jnp.minimum(min2, SAT_MSG), jnp.minimum(min1, SAT_MSG)
+    if spec.algo == "OMS":
+        f1 = jnp.minimum(jnp.maximum(min2 - spec.offset, 0), SAT_MSG)
+        f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), SAT_MSG)
+        return f1, f2
+    if spec.algo == "NMS":
+        return (min2 * 3) >> 2, (min1 * 3) >> 2
+    if spec.algo == "2NMS":
+        return (min2 * 7) >> 3, (min1 * 3) >> 2
+    raise ValueError(f"unknown algo {spec.algo!r}")
+
+
+def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
+    layers = code.layers  # all QC (checked by pallas_supported)
+
+    def layer_pass(v_ref, m_ref, moff: int, layer, active):
+        """One QC block-row; returns [Z, TB] int16 parity (0 = satisfied)."""
+        cols = layer.qc.cols.tolist()
+        shifts = layer.qc.shifts.tolist()
+        deg = layer.deg
+        rolled = []
+        contribs = []
+        for j in range(deg):
+            v = _roll(v_ref[cols[j]], shifts[j], Z)  # int32 slab
+            m = m_ref[moff + j].astype(_CT)
+            c = jnp.clip(v - m, -SAT_VAR, SAT_VAR)
+            rolled.append(v)
+            contribs.append(c)
+        # running two-min + sign parity (order == CUDA_MS_SIMD.cu:165-171)
+        mags = []
+        sgns = []
+        min1 = min2 = None
+        for j, c in enumerate(contribs):
+            if spec.minclamp == "pre":
+                a = jnp.abs(jnp.clip(c, -SAT_MSG, SAT_MSG))
+            else:
+                a = jnp.abs(c)
+            s = (c > 0).astype(_CT)
+            mags.append(a)
+            sgns.append(s)
+            if j == 0:
+                min1 = a
+                min2 = jnp.full_like(a, SAT_VAR + 1)
+            else:
+                min2 = jnp.minimum(min2, jnp.maximum(a, min1))
+                min1 = jnp.minimum(min1, a)
+        parity = sgns[0]
+        for s in sgns[1:]:
+            parity = parity ^ s
+        f1, f2 = _f_consts(min1, min2, spec)
+        for j in range(deg):
+            mag = jnp.where(mags[j] == min1, f1, f2)
+            m_new = jnp.where((parity ^ sgns[j]) == 1, mag, -mag)
+            if spec.minclamp == "pre":
+                m_new = jnp.clip(m_new, -SAT_MSG, SAT_MSG)
+            v_new = jnp.clip(contribs[j] + m_new, -SAT_VAR, SAT_VAR)
+            if active is not None:
+                v_new = jnp.where(active, v_new, rolled[j])
+                m_new = jnp.where(active, m_new, m_ref[moff + j].astype(_CT))
+            v_ref[cols[j]] = _roll(v_new, -shifts[j], Z)
+            m_ref[moff + j] = m_new.astype(_ST)
+        return parity
+
+    def kernel(llr_ref, out_ref, v_ref, m_ref, unsat_ref):
+        # load LLRs into the VMEM-resident int32 APP state; zero the messages
+        v_ref[...] = llr_ref[...].astype(_CT)
+        m_ref[...] = jnp.zeros_like(m_ref)
+        if spec.early_term:
+            unsat_ref[...] = jnp.ones_like(unsat_ref)
+
+        def iteration(it, _):
+            del it
+            active = None
+            if spec.early_term:
+                active = unsat_ref[0] != 0  # [1?]-> [TB] lane mask
+
+            def run_layers():
+                unsat = None
+                moff = 0
+                for layer in layers:
+                    parity = layer_pass(
+                        v_ref, m_ref, moff, layer,
+                        active[None, :] if active is not None else None,
+                    )
+                    moff += layer.deg
+                    if spec.early_term:
+                        # accumulate the unsatisfied-check OR at [Z, TB]
+                        # granularity; reduce to lanes once per iteration
+                        # (Mosaic has no int16 reductions -> via int32)
+                        unsat = (
+                            parity
+                            if unsat is None
+                            else jnp.maximum(unsat, parity)
+                        )
+                return unsat
+
+            if spec.early_term:
+                @pl.when(jnp.any(active))
+                def _():
+                    unsat = run_layers()
+                    lane_unsat = unsat.max(axis=0)  # [TB] (int32)
+                    # freeze lanes whose syndrome is now clean
+                    unsat_ref[0] = jnp.minimum(unsat_ref[0], lane_unsat)
+            else:
+                run_layers()
+            return 0
+
+        jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
+        # fused deinterleave+hard-decision equivalent: bit = (app > 0)
+        out_ref[...] = (v_ref[...] > 0).astype(_ST)
+
+    return kernel
+
+
+def pick_batch_tile(code: LdpcCode, vmem_budget: int = 11 << 20) -> int:
+    """Largest 128-multiple lane tile whose working set fits VMEM.
+
+    Working set per lane: int32 APP (4N) + int8 messages (M) + double-
+    buffered int8 in/out tiles (4N) + headroom for rolled temporaries.
+    """
+    per_lane = 4 * code.N + code.M + 4 * code.N + 16 * (code.Z or 64)
+    tb = 1024
+    while tb > 128 and tb * per_lane > vmem_budget:
+        tb //= 2
+    return tb
+
+
+def make_pallas_decoder(
+    code: LdpcCode,
+    spec: LayeredSpec = LayeredSpec(),
+    batch_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``.
+
+    The batch is processed in lane tiles of ``batch_tile`` codewords; each
+    grid step decodes its tile fully on-chip.  ``iters_used`` is
+    ``spec.iters`` (per-lane early termination happens inside the kernel;
+    the reference reports fixed-iteration counts the same way).
+    """
+    assert pallas_supported(code, spec), f"{code.name}: not all-QC layers"
+    Z = code.Z
+    Nb = code.N // Z
+    n_msg_slabs = sum(l.deg for l in code.layers)
+    TB = batch_tile if batch_tile is not None else pick_batch_tile(code)
+
+    kernel = _build_kernel(code, spec, Z, TB)
+
+    def _call(llr3):  # [Nb, Z, B]
+        B = llr3.shape[-1]
+        assert B % TB == 0, f"batch {B} not a multiple of tile {TB}"
+        return pl.pallas_call(
+            kernel,
+            grid=(B // TB,),
+            in_specs=[
+                pl.BlockSpec(
+                    (Nb, Z, TB), lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (Nb, Z, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((Nb, Z, B), _ST),
+            scratch_shapes=[
+                pltpu.VMEM((Nb, Z, TB), _CT),  # APP state (int32: rollable)
+                pltpu.VMEM((n_msg_slabs, Z, TB), _ST),  # c2v messages
+                pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
+            ],
+            interpret=interpret,
+        )(llr3)
+
+    @jax.jit
+    def decode(llr):
+        llr = jnp.asarray(llr, _ST)
+        B = llr.shape[0]
+        # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
+        llr3 = llr.T.reshape(Nb, Z, B)
+        out3 = _call(llr3)
+        bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
+        return bits, jnp.asarray(spec.iters, jnp.int32)
+
+    return decode

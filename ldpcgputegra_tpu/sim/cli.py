@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument(
         "--schedule", default="auto", choices=["auto", "reference", "colored"]
     )
+    g.add_argument(
+        "--backend", default="auto", choices=["auto", "pallas", "xla"],
+        help="decoder backend (pallas = fused TPU kernel for QC codes)",
+    )
 
     s = p.add_argument_group("SNR sweep")
     s.add_argument("--min", dest="snr_min", type=float, default=0.5)

@@ -28,7 +28,8 @@ from ..channel.awgn import AwgnChannel, ChannelSpec
 from ..channel.bitgen import generate_info_bits
 from ..channel.encoder import FakeEncoder, make_encoder
 from ..codes.registry import load_code
-from ..ops.layered import LayeredSpec, make_layered_decoder
+from ..decoder import make_decoder
+from ..ops.layered import LayeredSpec
 from ..quant import QuantSpec
 from .analyzer import ErrorAnalyzer, count_errors
 from .terminal import Terminal
@@ -60,6 +61,7 @@ class SweepConfig:
     timer_s: Optional[float] = None  # per-point wall budget (-timer)
     qef_fer: Optional[float] = None  # sweep cutoff (-qef)
 
+    backend: str = "auto"  # auto | pallas | xla
     encoder: str = "fake"  # fake | table | staircase | gf2 | auto
     random_bits: bool = True  # -random (ignored for fake encoder)
     quant_factor: int = 8
@@ -135,7 +137,7 @@ def run_sweep(
         minclamp=cfg.minclamp,
         schedule=cfg.schedule,
     )
-    decoder = make_layered_decoder(code, spec)
+    decoder = make_decoder(code, spec, backend=cfg.backend)
     is_fake = isinstance(encoder, FakeEncoder)
 
     base_key = jax.random.key(cfg.seed)

@@ -1,0 +1,73 @@
+"""Pallas kernel bit-exactness vs the golden model (interpret mode on CPU).
+
+The compiled kernel is additionally validated on real TPU hardware by the
+bench/verify flows; interpret mode checks the kernel's semantics are
+bit-identical to the reference-order layered schedule.
+"""
+
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.codes.registry import load_code
+from ldpcgputegra_tpu.golden.decoder import GoldenParams, decode_golden
+from ldpcgputegra_tpu.kernels import make_pallas_decoder, pallas_supported
+from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
+
+
+def _llrs(n, b, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        8.0 * rng.normal(-1.0, 0.8, size=(b, n)), -31, 31
+    ).astype(np.int8)
+
+
+@pytest.mark.parametrize("algo,minclamp", [("OMS", "pre"), ("NMS", "post")])
+def test_pallas_bit_exact_vs_golden(algo, minclamp):
+    code = load_code("576x288")
+    spec = LayeredSpec(algo=algo, iters=3, minclamp=minclamp)
+    assert pallas_supported(code, spec)
+    dec = make_pallas_decoder(code, spec, batch_tile=128, interpret=True)
+    llr = _llrs(code.N, 128, seed=42)
+    bits, _ = dec(llr)
+    bits = np.asarray(bits)
+    gp = GoldenParams(algo=algo, iters=3, minclamp=minclamp)
+    for b in range(3):
+        ref, _ = decode_golden(code, llr[b], gp)
+        np.testing.assert_array_equal(bits[b], ref, err_msg=f"frame {b}")
+
+
+def test_pallas_early_term_matches_fixed():
+    """ET freezes converged lanes; output must equal the fixed-iter path."""
+    code = load_code("576x288")
+    llr = _llrs(code.N, 128, seed=9)
+    d_f = make_pallas_decoder(
+        code, LayeredSpec(algo="OMS", iters=4), batch_tile=128, interpret=True
+    )
+    d_e = make_pallas_decoder(
+        code,
+        LayeredSpec(algo="OMS", iters=4, early_term=True),
+        batch_tile=128,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_f(llr)[0]), np.asarray(d_e(llr)[0])
+    )
+
+
+def test_pallas_matches_xla_path():
+    """Pallas and the XLA roll path implement the same schedule."""
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="2NMS", iters=3, minclamp="post")
+    llr = _llrs(code.N, 128, seed=5)
+    p = make_pallas_decoder(code, spec, batch_tile=128, interpret=True)
+    x = make_layered_decoder(code, spec)
+    np.testing.assert_array_equal(np.asarray(p(llr)[0]), np.asarray(x(llr)[0]))
+
+
+def test_pick_batch_tile_fits_vmem():
+    from ldpcgputegra_tpu.kernels.pallas_layered import pick_batch_tile
+
+    small = load_code("576x288")
+    assert pick_batch_tile(small) >= 512
+    big = load_code("2304x1152")
+    assert 128 <= pick_batch_tile(big) <= 512
