@@ -1,0 +1,155 @@
+// Scalar fixed-point layered min-sum oracle (native golden model).
+//
+// C++ re-implementation of the semantics of the reference's scalar oracle
+// CDecoder_OMS_fixed_x86::decode_8bits (code/ldpc_decoder_arm/CDecoder/OMS/
+// CDecoder_OMS_fixed_x86.cpp:60-150) and the GPU kernel variant math
+// (code/gpu_fixed/decoder_{ms,oms,nms,2nms}/cuda/*.cu), matching the Python
+// golden model in golden/decoder.py bit for bit.  Used through ctypes as the
+// fast bit-exactness oracle for every TPU decoder path (the NumPy model is
+// ~100x slower and remains the readable specification).
+//
+// Build: make -C ldpcgputegra_tpu/native   (g++ -O2 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kSatVar = 127;
+constexpr int kSatMsg = 31;
+
+inline int sat(int v, int s) { return v < -s ? -s : (v > s ? s : v); }
+
+enum Algo { MS = 0, OMS = 1, NMS = 2, TWO_NMS = 3 };
+
+inline void f_consts(int algo, int offset, int min1, int min2, int* f1,
+                     int* f2) {
+  switch (algo) {
+    case MS:
+      *f1 = min2 < kSatMsg ? min2 : kSatMsg;
+      *f2 = min1 < kSatMsg ? min1 : kSatMsg;
+      return;
+    case OMS: {
+      int a = min2 - offset, b = min1 - offset;
+      a = a < 0 ? 0 : a;
+      b = b < 0 ? 0 : b;
+      *f1 = a < kSatMsg ? a : kSatMsg;
+      *f2 = b < kSatMsg ? b : kSatMsg;
+      return;
+    }
+    case NMS:
+      *f1 = (min2 * 3) >> 2;
+      *f2 = (min1 * 3) >> 2;
+      return;
+    case TWO_NMS:
+      *f1 = (min2 * 7) >> 3;
+      *f2 = (min1 * 3) >> 2;
+      return;
+  }
+  *f1 = *f2 = 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode `frames` frames of int8 LLRs (frame-major [frames, n]).
+// classes: n_classes pairs (deg, count); edges: flat check-major VN table.
+// minclamp_pre: 1 = x86-oracle semantics (|v| clamped to msg range before
+// the min reduction), 0 = GPU-kernel semantics.
+// Returns per-frame iterations used in iters_used (if non-null).
+void ldpc_decode_golden(const int32_t* class_degs, const int32_t* class_counts,
+                        int n_classes, const int32_t* edges, int n_edges,
+                        const int8_t* llr, int frames, int n, int8_t* out_bits,
+                        int algo, int iters, int offset, int minclamp_pre,
+                        int early_term, int32_t* iters_used) {
+  std::vector<int> v(n);
+  std::vector<int> msgs(n_edges);
+  std::vector<int> contrib(256);
+  for (int f = 0; f < frames; ++f) {
+    const int8_t* in = llr + (size_t)f * n;
+    int8_t* out = out_bits + (size_t)f * n;
+    for (int i = 0; i < n; ++i) v[i] = in[i];
+    std::fill(msgs.begin(), msgs.end(), 0);
+    int used = iters;
+    for (int it = 0; it < iters; ++it) {
+      int ov_sign = 0;
+      const int32_t* e = edges;
+      int* mg = msgs.data();
+      for (int c = 0; c < n_classes; ++c) {
+        const int deg = class_degs[c];
+        const int count = class_counts[c];
+        if ((int)contrib.size() < deg) contrib.resize(deg);
+        for (int chk = 0; chk < count; ++chk) {
+          int min1 = kSatVar + 1, min2 = kSatVar + 1, parity = 0;
+          for (int j = 0; j < deg; ++j) {
+            int vc = sat(v[e[j]] - mg[j], kSatVar);
+            contrib[j] = vc;
+            int a = minclamp_pre ? abs(sat(vc, kSatMsg)) : abs(vc);
+            if (a < min1) {
+              min2 = min1;
+              min1 = a;
+            } else if (a < min2) {
+              min2 = a;
+            }
+            parity ^= (vc > 0) ? 1 : 0;
+          }
+          int f1, f2;
+          f_consts(algo, offset, min1, min2, &f1, &f2);
+          for (int j = 0; j < deg; ++j) {
+            int vc = contrib[j];
+            int a = minclamp_pre ? abs(sat(vc, kSatMsg)) : abs(vc);
+            int mag = (a == min1) ? f1 : f2;
+            int s = parity ^ ((vc > 0) ? 1 : 0);
+            int m = s ? mag : -mag;
+            if (minclamp_pre) m = sat(m, kSatMsg);
+            mg[j] = m;
+            v[e[j]] = sat(vc + m, kSatVar);
+          }
+          ov_sign |= parity;
+          e += deg;
+          mg += deg;
+        }
+      }
+      if (early_term && ov_sign == 0) {
+        used = it + 1;
+        break;
+      }
+    }
+    for (int i = 0; i < n; ++i) out[i] = v[i] > 0 ? 1 : 0;
+    if (iters_used) iters_used[f] = used;
+  }
+}
+
+// Syndrome check: returns number of frames whose hard bits satisfy H.
+int ldpc_syndrome_ok(const int32_t* class_degs, const int32_t* class_counts,
+                     int n_classes, const int32_t* edges, const int8_t* bits,
+                     int frames, int n, int8_t* ok_out) {
+  int n_ok = 0;
+  for (int f = 0; f < frames; ++f) {
+    const int8_t* b = bits + (size_t)f * n;
+    const int32_t* e = edges;
+    int ok = 1;
+    for (int c = 0; c < n_classes && ok; ++c) {
+      const int deg = class_degs[c];
+      const int count = class_counts[c];
+      for (int chk = 0; chk < count; ++chk) {
+        int p = 0;
+        for (int j = 0; j < deg; ++j) p ^= b[e[j]] & 1;
+        e += deg;
+        if (p) {
+          ok = 0;
+          e += (size_t)(count - chk - 1) * deg;
+          break;
+        }
+      }
+    }
+    if (ok_out) ok_out[f] = (int8_t)ok;
+    n_ok += ok;
+  }
+  return n_ok;
+}
+
+}  // extern "C"

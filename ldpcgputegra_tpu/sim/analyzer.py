@@ -39,10 +39,19 @@ def count_errors(decoded, reference=None, info_only: bool = False, k=None):
     ``reference=None`` means the all-zero-codeword convention (GPU analyzer:
     any nonzero decoded bit is an error).
     """
+    be, fe = count_errors_async(decoded, reference, info_only, k)
+    return int(be), int(fe)
+
+
+def count_errors_async(decoded, reference=None, info_only: bool = False, k=None):
+    """Like `count_errors` but returns unfetched device scalars, so callers
+    can pipeline decode batches without paying a host round trip per batch
+    (the async replacement for the reference's omp-sections overlap of
+    error counting with the next noise generation,
+    ``code/gpu_fixed/main.cpp:271-281``)."""
     if reference is None:
         reference = jnp.zeros_like(decoded)
-    be, fe = _count(decoded, reference, k, info_only)
-    return int(be), int(fe)
+    return _count(decoded, reference, k, info_only)
 
 
 @dataclasses.dataclass

@@ -19,9 +19,11 @@ import dataclasses
 import json
 import os
 import time
+from collections import deque
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..channel.awgn import AwgnChannel, ChannelSpec
@@ -31,7 +33,7 @@ from ..codes.registry import load_code
 from ..decoder import make_decoder
 from ..ops.layered import LayeredSpec
 from ..quant import QuantSpec
-from .analyzer import ErrorAnalyzer, count_errors
+from .analyzer import ErrorAnalyzer, count_errors_async
 from .terminal import Terminal
 
 __all__ = ["SweepConfig", "SnrPoint", "SweepResult", "run_sweep"]
@@ -60,6 +62,7 @@ class SweepConfig:
     max_frames: int = 10_000_000  # per-point frame budget
     timer_s: Optional[float] = None  # per-point wall budget (-timer)
     qef_fer: Optional[float] = None  # sweep cutoff (-qef)
+    pipeline_depth: int = 2  # batches kept in flight (multi-stream analogue)
 
     backend: str = "auto"  # auto | pallas | xla
     encoder: str = "fake"  # fake | table | staircase | gf2 | auto
@@ -161,26 +164,37 @@ def run_sweep(
             analyzer.add_counts(part["frames"], part["be"], part["fe"])
             batch_idx = part["batches"]
         term = Terminal(analyzer, snr, metrics=metrics_f)
-        # resume bookkeeping: previously-spent wall time is lost; throughput
-        # numbers on a resumed point reflect post-resume work only.
-        while True:
-            key = jax.random.fold_in(
-                jax.random.fold_in(base_key, pi), batch_idx
-            )
+
+        # Pipelined dispatch (the reference's omp-sections overlap of
+        # error counting with next-batch noise generation, main.cpp:271-281,
+        # generalised): keep `pipeline_depth` batches in flight on device
+        # and only fetch the oldest batch's counters — one host round trip
+        # per batch, fully overlapped with compute.  Batch k's channel key
+        # is fold_in(fold_in(seed, point), k), so dispatch order never
+        # affects results and a resume re-dispatches deterministically.
+        def dispatch(k: int):
+            key = jax.random.fold_in(jax.random.fold_in(base_key, pi), k)
             if is_fake:
                 llr = channel.generate_zero_int8(key, cfg.batch)
                 decoded, _ = decoder(llr)
-                be, fe = count_errors(decoded)
-            else:
-                rng = np.random.default_rng((cfg.seed, pi, batch_idx))
-                info = generate_info_bits(
-                    rng, cfg.batch, code.K, cfg.random_bits
-                )
-                coded = encoder.encode(info)
-                llr = channel.generate_int8(key, coded)
-                decoded, _ = decoder(llr)
-                be, fe = count_errors(decoded, reference=coded)
-            analyzer.add_counts(cfg.batch, be, fe)
+                return count_errors_async(decoded)
+            rng = np.random.default_rng((cfg.seed, pi, k))
+            info = generate_info_bits(rng, cfg.batch, code.K, cfg.random_bits)
+            coded = encoder.encode(info)
+            llr = channel.generate_int8(key, coded)
+            decoded, _ = decoder(llr)
+            return count_errors_async(decoded, reference=jnp.asarray(coded))
+
+        depth = max(1, cfg.pipeline_depth)
+        inflight: deque = deque()
+        next_k = batch_idx
+        stop = False
+        while not stop or inflight:
+            while not stop and len(inflight) < depth:
+                inflight.append(dispatch(next_k))
+                next_k += 1
+            be_d, fe_d = inflight.popleft()
+            analyzer.add_counts(cfg.batch, int(be_d), int(fe_d))
             batch_idx += 1
             if progress:
                 term.temp_report()
@@ -192,12 +206,12 @@ def run_sweep(
                 "batches": batch_idx,
             }
             _save_ckpt(cfg.checkpoint, ckpt)
-            if analyzer.fe_limit_achieved():
-                break
-            if analyzer.frames >= cfg.max_frames:
-                break
-            if cfg.timer_s is not None and term.elapsed() >= cfg.timer_s:
-                break
+            if (
+                analyzer.fe_limit_achieved()
+                or analyzer.frames >= cfg.max_frames
+                or (cfg.timer_s is not None and term.elapsed() >= cfg.timer_s)
+            ):
+                stop = True
         rec = term.final_report()
         point = SnrPoint(
             snr_db=snr,

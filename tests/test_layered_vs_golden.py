@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from ldpcgputegra_tpu.codes.registry import load_code, make_random_regular_code
-from ldpcgputegra_tpu.golden.decoder import GoldenParams, decode_golden
+from ldpcgputegra_tpu.golden import GoldenParams, decode_golden, decode_oracle
 from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
 
 
@@ -41,9 +41,8 @@ def test_qc_decoder_bit_exact(name, algo, minclamp, schedule):
     bits = np.asarray(bits)
     assert int(iters) == 5
     gp = GoldenParams(algo=algo, iters=5, minclamp=minclamp)
-    for b in range(B):
-        ref, _ = decode_golden(code, llrs[b], gp)
-        np.testing.assert_array_equal(bits[b], ref, err_msg=f"frame {b}")
+    refs, _ = decode_oracle(code, llrs, gp)
+    np.testing.assert_array_equal(bits, refs)
 
 
 def test_gather_path_bit_exact_random_code():
@@ -56,9 +55,8 @@ def test_gather_path_bit_exact_random_code():
     bits, _ = dec(llrs)
     bits = np.asarray(bits)
     gp = GoldenParams(algo="OMS", iters=4)
-    for b in range(B):
-        ref, _ = decode_golden(code, llrs[b], gp)
-        np.testing.assert_array_equal(bits[b], ref, err_msg=f"frame {b}")
+    refs, _ = decode_oracle(code, llrs, gp)
+    np.testing.assert_array_equal(bits, refs)
 
 
 def test_colored_schedule_matches_its_own_golden_order():
@@ -81,9 +79,8 @@ def test_colored_schedule_matches_its_own_golden_order():
     dec = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=4, schedule="colored"))
     bits = np.asarray(dec(llrs)[0])
     gp = GoldenParams(algo="OMS", iters=4)
-    for b in range(B):
-        ref, _ = decode_golden(permuted, llrs[b], gp)
-        np.testing.assert_array_equal(bits[b], ref)
+    refs, _ = decode_oracle(permuted, llrs, gp)
+    np.testing.assert_array_equal(bits, refs)
 
 
 def test_noiseless_decode_identity():

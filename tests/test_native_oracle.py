@@ -1,0 +1,70 @@
+"""Native C++ oracle must match the NumPy golden model bit for bit."""
+
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.codes.registry import load_code, make_random_regular_code
+from ldpcgputegra_tpu.golden.decoder import (
+    GoldenParams,
+    decode_golden,
+    syndrome_ok,
+)
+from ldpcgputegra_tpu.golden.native import (
+    decode_golden_native,
+    native_available,
+    syndrome_ok_native,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native oracle not built"
+)
+
+
+def _llrs(n, b, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        8.0 * rng.normal(-1.0, 0.8, size=(b, n)), -31, 31
+    ).astype(np.int8)
+
+
+@pytest.mark.parametrize(
+    "algo,minclamp,et",
+    [
+        ("MS", "post", False),
+        ("OMS", "pre", False),
+        ("OMS", "pre", True),
+        ("NMS", "post", False),
+        ("2NMS", "post", True),
+    ],
+)
+def test_native_matches_numpy_golden(algo, minclamp, et):
+    code = load_code("576x288")
+    llr = _llrs(code.N, 4, seed=3)
+    gp = GoldenParams(algo=algo, iters=6, minclamp=minclamp, early_term=et)
+    bits_n, used_n = decode_golden_native(code, llr, gp)
+    for b in range(4):
+        ref, used = decode_golden(code, llr[b], gp)
+        np.testing.assert_array_equal(bits_n[b], ref, err_msg=f"frame {b}")
+        assert used_n[b] == used
+
+
+def test_native_on_nonqc_code():
+    code = make_random_regular_code(512, 256, 8, seed=3)
+    llr = _llrs(code.N, 2, seed=5)
+    gp = GoldenParams(algo="OMS", iters=4)
+    bits_n, _ = decode_golden_native(code, llr, gp)
+    for b in range(2):
+        ref, _ = decode_golden(code, llr[b], gp)
+        np.testing.assert_array_equal(bits_n[b], ref)
+
+
+def test_native_syndrome():
+    code = load_code("576x288")
+    llr = _llrs(code.N, 8, seed=7)
+    gp = GoldenParams(algo="OMS", iters=10)
+    bits, _ = decode_golden_native(code, llr, gp)
+    ok = syndrome_ok_native(code, bits)
+    for b in range(8):
+        assert ok[b] == syndrome_ok(code, bits[b])
+    zero = np.zeros((1, code.N), np.int8)
+    assert syndrome_ok_native(code, zero)[0]
