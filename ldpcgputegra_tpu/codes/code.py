@@ -47,10 +47,20 @@ class DegreeClass:
 @dataclasses.dataclass(frozen=True)
 class QCRow:
     """QC descriptor for one layer: edge position j of check z reads VN
-    ``cols[j]*Z + (shifts[j] + z) % Z``."""
+    ``cols[j]*Z + (shifts[j] + z) % Z``.
+
+    ``mask_edge``/``mask_rows`` describe a *deficient circulant*: at edge
+    position ``mask_edge``, the checks listed in ``mask_rows`` have no such
+    edge in the true H (e.g. the DVB-S2 staircase wrap at check 0).
+    Decoders neutralize those (check, edge) contributions: |v| pinned to
+    saturation with negative sign (never the min, parity-neutral) and no
+    APP/message writeback — exactly equivalent to the edge being absent.
+    """
 
     cols: np.ndarray  # [deg] int32 block-column ids
     shifts: np.ndarray  # [deg] int32 cyclic shifts
+    mask_edge: Optional[int] = None
+    mask_rows: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,6 +193,10 @@ class LdpcCode:
     # Encoder side (DVB-S2-style QC accumulate tables), optional:
     enc_rows: Optional[tuple[np.ndarray, ...]] = None  # per table line: positions
     enc_q: Optional[int] = None
+    # Set on QC-ified views of another code (codes/dvbs2.py): this code's
+    # VN i is the base code's VN col_perm[i].  Decoders permute input LLRs
+    # by col_perm and inverse-permute output bits.
+    col_perm: Optional[np.ndarray] = None
 
     def __post_init__(self):
         if not self.layers:

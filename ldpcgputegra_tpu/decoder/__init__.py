@@ -8,6 +8,11 @@ in ``code/gpu_fixed/main.cpp:212-228``) with backend selection:
 * ``xla``    — the gather/roll XLA path (any code, any backend);
 * ``auto``   — pallas when supported on the current backend, else xla.
 
+Staircase (DVB-S2-family) codes are transparently replaced by their Z=360
+QC view (``codes.dvbs2.to_qc_form``) so they hit the fast roll/Pallas
+paths; the view handles the column permutation internally, so callers see
+the original column order.
+
 All backends share ``LayeredSpec`` and return the same
 ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)`` contract.
 """
@@ -21,7 +26,9 @@ import jax
 from ..codes.code import LdpcCode
 from ..ops.layered import LayeredSpec, make_layered_decoder
 
-__all__ = ["make_decoder", "LayeredSpec", "backend_for"]
+__all__ = ["make_decoder", "LayeredSpec", "backend_for", "effective_code"]
+
+_qc_view_cache: dict[str, Optional[LdpcCode]] = {}
 
 
 def _on_tpu() -> bool:
@@ -33,11 +40,39 @@ def _on_tpu() -> bool:
     return dev.platform in ("tpu", "axon") or "tpu" in kind
 
 
+def effective_code(code: LdpcCode) -> LdpcCode:
+    """The code actually decoded: the QC view for staircase codes."""
+    if code.Z is not None or code.col_perm is not None:
+        return code
+    if code.name not in _qc_view_cache:
+        from ..codes.dvbs2 import is_staircase, to_qc_form
+
+        view = None
+        if is_staircase(code):
+            try:
+                view = to_qc_form(code)
+            except ValueError:
+                view = None
+        _qc_view_cache[code.name] = view
+    return _qc_view_cache[code.name] or code
+
+
+def _pallas_fits(code: LdpcCode) -> bool:
+    from ..kernels.pallas_layered import pick_batch_tile
+
+    tb = pick_batch_tile(code)
+    per_lane = 4 * code.N + code.M + 4 * code.N + 16 * (code.Z or 64)
+    return tb * per_lane <= (11 << 20)
+
+
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:
     from ..kernels import pallas_supported
 
+    code = effective_code(code)
     if backend == "auto":
-        return "pallas" if (pallas_supported(code, spec) and _on_tpu()) else "xla"
+        if pallas_supported(code, spec) and _pallas_fits(code) and _on_tpu():
+            return "pallas"
+        return "xla"
     return backend
 
 
@@ -48,6 +83,7 @@ def make_decoder(
     batch_tile: Optional[int] = None,
     interpret: bool = False,
 ):
+    code = effective_code(code)
     resolved = backend_for(code, spec, backend)
     if resolved == "pallas":
         from ..kernels import make_pallas_decoder

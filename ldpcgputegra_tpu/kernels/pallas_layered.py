@@ -87,12 +87,22 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         cols = layer.qc.cols.tolist()
         shifts = layer.qc.shifts.tolist()
         deg = layer.deg
+        me = layer.qc.mask_edge
+        mrow = None
+        if me is not None:
+            m_np = np.zeros((Z, 1), dtype=np.int32)
+            m_np[layer.qc.mask_rows] = 1
+            mrow = jnp.asarray(m_np) != 0  # deficient-circulant row mask
         rolled = []
         contribs = []
         for j in range(deg):
             v = _roll(v_ref[cols[j]], shifts[j], Z)  # int32 slab
             m = m_ref[moff + j].astype(_CT)
             c = jnp.clip(v - m, -SAT_VAR, SAT_VAR)
+            if me is not None and j == me:
+                # neutralize the nonexistent edge: -SAT_VAR is parity-
+                # neutral (sign 0) and never the min (see codes/code.py)
+                c = jnp.where(mrow, -SAT_VAR, c)
             rolled.append(v)
             contribs.append(c)
         # running two-min + sign parity (order == CUDA_MS_SIMD.cu:165-171)
@@ -126,6 +136,9 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             if active is not None:
                 v_new = jnp.where(active, v_new, rolled[j])
                 m_new = jnp.where(active, m_new, m_ref[moff + j].astype(_CT))
+            if me is not None and j == me:
+                v_new = jnp.where(mrow, rolled[j], v_new)
+                m_new = jnp.where(mrow, m_ref[moff + j].astype(_CT), m_new)
             v_ref[cols[j]] = _roll(v_new, -shifts[j], Z)
             m_ref[moff + j] = m_new.astype(_ST)
         return parity
@@ -239,14 +252,25 @@ def make_pallas_decoder(
             interpret=interpret,
         )(llr3)
 
+    perm = inv_perm = None
+    if code.col_perm is not None:
+        perm = jnp.asarray(code.col_perm)
+        ip = np.empty(code.N, dtype=np.int64)
+        ip[code.col_perm] = np.arange(code.N)
+        inv_perm = jnp.asarray(ip)
+
     @jax.jit
     def decode(llr):
         llr = jnp.asarray(llr, _ST)
         B = llr.shape[0]
+        if perm is not None:
+            llr = llr[:, perm]  # QC-ified view: to QC column order
         # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
         llr3 = llr.T.reshape(Nb, Z, B)
         out3 = _call(llr3)
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
+        if inv_perm is not None:
+            bits = bits[:, inv_perm]
         return bits, jnp.asarray(spec.iters, jnp.int32)
 
     return decode

@@ -122,17 +122,30 @@ def _layer_step_qc(V3, msg, layer: Layer, spec: LayeredSpec, active=None):
     """One QC block-row. V3: [Nb, Z, B] int8; msg: [deg, Z, B] int8.
 
     ``active`` (when early-terminating) is a [B] bool mask; rows of
-    converged codewords are written back unchanged.
+    converged codewords are written back unchanged.  A deficient-circulant
+    edge (``qc.mask_edge``) has its masked checks' contribution pinned to
+    -SAT_VAR (parity-neutral, never the min) and its writebacks suppressed
+    — exactly equivalent to the edge being absent (see codes/code.py).
     """
     cols = layer.qc.cols.tolist()
     shifts = layer.qc.shifts.tolist()
     Z = layer.n_checks
     deg = layer.deg
+    me = layer.qc.mask_edge
+    mrow = None
+    if me is not None:
+        m_np = np.zeros((Z, 1), dtype=bool)
+        m_np[layer.qc.mask_rows] = True
+        mrow = jnp.asarray(m_np)
     rolled = [_roll(V3[cols[j]], shifts[j]) for j in range(deg)]
     contribs = [
         jnp.clip(rolled[j].astype(_CT) - msg[j].astype(_CT), -SAT_VAR, SAT_VAR)
         for j in range(deg)
     ]
+    if me is not None:
+        contribs[me] = jnp.where(
+            mrow, jnp.asarray(-SAT_VAR, _CT), contribs[me]
+        )
     new_msgs, parity = _cn_update(contribs, spec)
     out_msg = []
     for j in range(deg):
@@ -141,6 +154,9 @@ def _layer_step_qc(V3, msg, layer: Layer, spec: LayeredSpec, active=None):
         if active is not None:
             v_new = jnp.where(active[None, :], v_new, rolled[j])
             m_new = jnp.where(active[None, :], m_new, msg[j])
+        if me is not None and j == me:
+            v_new = jnp.where(mrow, rolled[j], v_new)
+            m_new = jnp.where(mrow, msg[j], m_new)
         V3 = V3.at[cols[j]].set(_roll(v_new, (-shifts[j]) % Z))
         out_msg.append(m_new)
     return V3, jnp.stack(out_msg), parity
@@ -213,9 +229,19 @@ def make_layered_decoder(
     qc_shape = None
     if all_qc:
         qc_shape = (code.N // code.Z, code.Z)
+    perm = inv_perm = None
+    if code.col_perm is not None:
+        perm = jnp.asarray(code.col_perm)
+        ip = np.empty(code.N, dtype=np.int64)
+        ip[code.col_perm] = np.arange(code.N)
+        inv_perm = jnp.asarray(ip)
 
     def decode(llr: jax.Array):
         llr = jnp.asarray(llr, _ST)
+        if perm is not None:
+            # QC-ified view of a base code: permute LLRs into QC column
+            # order (and bits back at the end, below)
+            llr = llr[:, perm] if not node_major else llr[perm, :]
         if node_major:
             V = llr
         else:
@@ -259,6 +285,8 @@ def make_layered_decoder(
         bits = (V_fin > 0).astype(jnp.uint8)
         if not node_major:
             bits = bits.T  # deinterleave + hard decision fused
+        if inv_perm is not None:
+            bits = bits[:, inv_perm] if not node_major else bits[inv_perm, :]
         return bits, iters_used
 
     return jax.jit(decode)
