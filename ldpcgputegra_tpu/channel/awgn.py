@@ -53,11 +53,18 @@ def sigma_for_snr(
 
 @dataclasses.dataclass(frozen=True)
 class ChannelSpec:
-    """Static channel configuration (hashable; jit static arg)."""
+    """Static channel configuration (hashable; jit static arg).
+
+    ``fading="rayleigh"`` applies flat Rayleigh fading (unit mean-square
+    gain, perfect-CSI matched filter) — the reference parses a
+    ``-Rayleigh_Fading`` flag (``code/ldpc_decoder_arm/main.cpp:257``) but
+    ships no implementation; here the capability is real.
+    """
 
     qpsk: bool = False
     es_n0: bool = False
     normalize: bool = False  # -norm-channel: scale output by 2/sigma^2
+    fading: str = "none"  # none | rayleigh
     quant: QuantSpec = QuantSpec()
 
 
@@ -65,8 +72,16 @@ class ChannelSpec:
 def _generate_float(key, tx_bits, sigma, spec: ChannelSpec):
     amp = _INV_SQRT2 if spec.qpsk else 1.0
     symbols = jnp.where(tx_bits != 0, amp, -amp).astype(jnp.float32)
-    noise = sigma * jax.random.normal(key, symbols.shape, jnp.float32)
-    y = symbols + noise
+    k_noise, k_fade = jax.random.split(key)
+    noise = sigma * jax.random.normal(k_noise, symbols.shape, jnp.float32)
+    if spec.fading == "rayleigh":
+        h = jax.random.rayleigh(k_fade, symbols.shape, jnp.float32) * (
+            _INV_SQRT2  # E[h^2] = 1
+        )
+        # matched filter (perfect CSI): y = h*(h*x + n) keeps the LLR sign
+        y = h * (h * symbols + noise)
+    else:
+        y = symbols + noise
     if spec.normalize:
         y = y * (2.0 / (sigma * sigma))
     return y
@@ -81,11 +96,10 @@ def _generate_int8(key, tx_bits, sigma, spec: ChannelSpec):
 def _generate_zero_int8(key, shape, sigma, spec: ChannelSpec):
     """All-zero-codeword fused path (the GPU channel's only mode:
     ``CChanel_AWGN_SIMD.cu:22`` hard-codes tx = -1)."""
-    amp = _INV_SQRT2 if spec.qpsk else 1.0
-    y = sigma * jax.random.normal(key, shape, jnp.float32) - amp
-    if spec.normalize:
-        y = y * (2.0 / (sigma * sigma))
-    return quantize_llr(y, spec.quant)
+    zeros = jnp.zeros(shape, jnp.int8)
+    return quantize_llr(
+        _generate_float(key, zeros, sigma, spec), spec.quant
+    )
 
 
 class AwgnChannel:

@@ -70,8 +70,11 @@ def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str
 
     code = effective_code(code)
     if backend == "auto":
-        if pallas_supported(code, spec) and _pallas_fits(code) and _on_tpu():
-            return "pallas"
+        if pallas_supported(code, spec) and _on_tpu():
+            if _pallas_fits(code):
+                return "pallas"
+            if not spec.early_term:
+                return "pallas-streamed"
         return "xla"
     return backend
 
@@ -91,6 +94,10 @@ def make_decoder(
         return make_pallas_decoder(
             code, spec, batch_tile=batch_tile, interpret=interpret
         )
+    if resolved == "pallas-streamed":
+        from ..kernels.pallas_streamed import make_streamed_decoder
+
+        return make_streamed_decoder(code, spec, batch_tile=batch_tile)
     if resolved == "xla":
         return make_layered_decoder(code, spec)
     raise ValueError(f"unknown backend {backend!r}")

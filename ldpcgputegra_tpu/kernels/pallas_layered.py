@@ -63,6 +63,17 @@ def _roll(x, s: int, Z: int):
     return pltpu.roll(x, -s % Z, axis=0)
 
 
+def _row_mask(Z: int, rows) -> jax.Array:
+    """[Z, 1] bool mask selecting the given check rows, built from iota
+    (Pallas kernels cannot capture array constants)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (Z, 1), 0)
+    m = None
+    for r in np.asarray(rows).tolist():
+        e = i == r
+        m = e if m is None else (m | e)
+    return m
+
+
 def _f_consts(min1, min2, spec: LayeredSpec):
     """Message magnitudes (f1 = min edge, f2 = others); integer-exact forms
     of the variant math in CUDA_{MS,OMS,NMS,2NMS}_SIMD.cu (see ops.layered)."""
@@ -90,9 +101,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         me = layer.qc.mask_edge
         mrow = None
         if me is not None:
-            m_np = np.zeros((Z, 1), dtype=np.int32)
-            m_np[layer.qc.mask_rows] = 1
-            mrow = jnp.asarray(m_np) != 0  # deficient-circulant row mask
+            mrow = _row_mask(Z, layer.qc.mask_rows)  # deficient circulant
         rolled = []
         contribs = []
         for j in range(deg):

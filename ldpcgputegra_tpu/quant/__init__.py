@@ -51,3 +51,28 @@ def quantize_llr(x: jnp.ndarray, spec: QuantSpec = QuantSpec()) -> jnp.ndarray:
 def dequantize_llr(q: jnp.ndarray, spec: QuantSpec = QuantSpec()) -> jnp.ndarray:
     """int8 fixed-point LLRs -> float (inverse scale; lossy)."""
     return q.astype(jnp.float32) / float(spec.factor)
+
+
+def llr_histogram(q, spec: QuantSpec = QuantSpec()) -> dict[int, float]:
+    """Occupancy histogram of quantized LLRs, as percentages.
+
+    Equivalent of the reference's ``-histo`` dump
+    (``CFastFixConversion.cpp:31-47``, the "(HISTO)" lines): quantizer
+    health check — a healthy channel uses the full +/-sat range without
+    piling everything on the saturation rails.
+    """
+    import numpy as np
+
+    q = np.asarray(q).ravel()
+    vals, counts = np.unique(q, return_counts=True)
+    total = q.size
+    return {int(v): 100.0 * c / total for v, c in zip(vals, counts)}
+
+
+def print_llr_histogram(q, spec: QuantSpec = QuantSpec()) -> None:
+    h = llr_histogram(q, spec)
+    print("(HISTO) START")
+    for v in range(-spec.sat - 1, spec.sat + 2):
+        if v in h:
+            print(f"(HISTO) {v:4d}\t{h[v]:f}")
+    print("(HISTO) STOP")

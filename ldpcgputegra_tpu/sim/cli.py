@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--es-n0", action="store_true", help="-Es/N0 mode")
     s.add_argument("--qpsk", action="store_true", help="-qpsk modulation")
     s.add_argument("--norm-channel", action="store_true")
+    s.add_argument("--rayleigh", dest="fading", action="store_const",
+                   const="rayleigh", default="none",
+                   help="flat Rayleigh fading (-Rayleigh_Fading equivalent)")
 
     t = p.add_argument_group("stopping / batching")
     t.add_argument("--batch", "-n", type=int, default=1024,
@@ -84,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON checkpoint path for resume")
     o.add_argument("--metrics", default=None, help="JSONL metrics path")
     o.add_argument("--quiet", action="store_true")
+    o.add_argument("--histo", action="store_true",
+                   help="print the quantized-LLR histogram of one batch")
+    o.add_argument("--info", action="store_true",
+                   help="print decoder backend/layout info and exit")
     return p
 
 
@@ -104,7 +111,66 @@ def main(argv=None) -> None:
         f"iters={cfg.iters} batch={cfg.batch} "
         f"sweep=[{cfg.snr_min}:{cfg.snr_step}:{cfg.snr_max}] dB"
     )
+    if args.info:
+        _print_info(cfg)
+        return
+    if args.histo:
+        _print_histo(cfg)
     run_sweep(cfg, progress=not args.quiet)
+
+
+def _print_info(cfg: SweepConfig) -> None:
+    """Backend/layout report (the reference's -info kernel report,
+    ``code/gpu_fixed/main.cpp:50-87``, re-expressed)."""
+    import jax
+
+    from ..codes.registry import load_code
+    from ..decoder import backend_for, effective_code
+    from ..ops.layered import LayeredSpec
+
+    code = load_code(cfg.code)
+    eff = effective_code(code)
+    spec = LayeredSpec(algo=cfg.algo, iters=cfg.iters, offset=cfg.offset,
+                       early_term=cfg.early_term, minclamp=cfg.minclamp,
+                       schedule=cfg.schedule)
+    backend = backend_for(code, spec, cfg.backend)
+    print(f"(II) devices      : {jax.devices()}")
+    print(f"(II) code         : N={eff.N} K={eff.K} M={eff.M} "
+          f"checks={eff.n_checks} Z={eff.Z} rate={eff.rate:.3f}")
+    print(f"(II) layers       : {len(eff.layers)} "
+          f"(qc {sum(1 for l in eff.layers if l.qc is not None)})")
+    print(f"(II) qc-ified     : {eff is not code}")
+    print(f"(II) backend      : {backend}")
+    if backend == "pallas":
+        from ..kernels.pallas_layered import pick_batch_tile
+
+        tb = pick_batch_tile(eff)
+        print(f"(II) lane tile    : {tb}")
+        vmem = tb * (8 * eff.N + eff.M) / 1e6
+        print(f"(II) est. VMEM    : {vmem:.1f} MB (APP int32 + messages)")
+    elif backend == "pallas-streamed":
+        from ..kernels.pallas_streamed import streamed_batch_tile
+
+        tb = streamed_batch_tile(eff)
+        print(f"(II) lane tile    : {tb}")
+        print(f"(II) msg stream   : {eff.M} bytes/lane through HBM")
+
+
+def _print_histo(cfg: SweepConfig) -> None:
+    import jax
+
+    from ..channel.awgn import AwgnChannel, ChannelSpec
+    from ..codes.registry import load_code
+    from ..quant import QuantSpec, print_llr_histogram
+
+    code = load_code(cfg.code)
+    quant = QuantSpec(factor=cfg.quant_factor, bits_llr=cfg.bits_llr)
+    chan = AwgnChannel(code.N, code.K, ChannelSpec(
+        qpsk=cfg.qpsk, es_n0=cfg.es_n0, normalize=cfg.norm_channel,
+        fading=cfg.fading, quant=quant))
+    chan.configure(cfg.snr_min)
+    llr = chan.generate_zero_int8(jax.random.key(cfg.seed), cfg.batch)
+    print_llr_histogram(llr, quant)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,7 @@ class SweepConfig:
     es_n0: bool = False
     qpsk: bool = False
     norm_channel: bool = False
+    fading: str = "none"  # none | rayleigh (-Rayleigh_Fading)
 
     batch: int = 1024  # frames per decode call (-n)
     max_fe: int = 100  # FE limit (-fer)
@@ -128,7 +129,8 @@ def run_sweep(
     code = load_code(cfg.code)
     quant = QuantSpec(factor=cfg.quant_factor, bits_llr=cfg.bits_llr)
     chan_spec = ChannelSpec(
-        qpsk=cfg.qpsk, es_n0=cfg.es_n0, normalize=cfg.norm_channel, quant=quant
+        qpsk=cfg.qpsk, es_n0=cfg.es_n0, normalize=cfg.norm_channel,
+        fading=cfg.fading, quant=quant,
     )
     channel = AwgnChannel(code.N, code.K, chan_spec)
     encoder = make_encoder(code, cfg.encoder)
