@@ -1,0 +1,125 @@
+"""Full benchmark suite: throughput + roofline across codes/backends.
+
+Covers the reference's measurement surface (M4): per-config coded Mbps at
+5 and 10 iterations (the paper's two operating points), decode-only
+(PERF-style) timing with device-resident inputs, and roofline
+utilization.  Writes ``benchmarks/RESULTS.md``.
+
+Run:  python -m ldpcgputegra_tpu.bench.suite [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+from ..channel.awgn import AwgnChannel, ChannelSpec
+from ..codes.registry import load_code
+from ..decoder import backend_for, effective_code, make_decoder
+from ..ops.layered import LayeredSpec
+from ..utils import enable_compile_cache
+from .harness import measure_call, throughput_report
+from .roofline import roofline_report
+
+# (code, batch, published 10-iter baseline Mbps [best device, 3 streams])
+CONFIGS = [
+    ("576x288", 16384, 127.0),
+    ("2304x1152", 8192, 132.0),
+    ("1944x972", 8192, None),
+    ("4000x2000", 4096, 131.0),
+    ("16200x7560", 1024, None),
+    ("64800x32400", 512, None),
+]
+
+
+def bench_one(name: str, batch: int, iters: int, quick: bool) -> dict:
+    code = load_code(name)
+    spec = LayeredSpec(algo="OMS", iters=iters, early_term=False)
+    backend = backend_for(code, spec)
+    dec = make_decoder(code, spec)
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    chan.configure(2.5)
+    n_inputs = 2 if quick else 6
+    inputs = [
+        chan.generate_zero_int8(jax.random.key(i), batch)
+        for i in range(n_inputs)
+    ]
+    ks, kl = (2, 6) if quick else (4, 20)
+    sec = measure_call(dec, inputs, k_small=ks, k_large=kl)
+    rep = throughput_report(sec, batch, code.N)
+    eff = effective_code(code)
+    roof = roofline_report(
+        eff, spec, batch, sec, streamed=(backend == "pallas-streamed")
+    )
+    return {
+        "code": name,
+        "backend": backend,
+        "iters": iters,
+        "batch": batch,
+        **{k: round(v, 3) for k, v in rep.items()},
+        "roofline_frac": round(roof["roofline_frac"], 3),
+        "bound": roof["bound"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="benchmarks/RESULTS.md")
+    args = ap.parse_args()
+    enable_compile_cache()
+
+    rows = []
+    for name, batch, base10 in CONFIGS:
+        for iters in (10, 5):
+            t0 = time.time()
+            try:
+                r = bench_one(name, batch, iters, args.quick)
+            except Exception as e:  # noqa: BLE001
+                print(f"(EE) {name}@{iters}it failed: {e}")
+                continue
+            r["baseline_mbps"] = base10 if iters == 10 else None
+            if base10 and iters == 10:
+                r["vs_baseline"] = round(r["coded_mbps"] / base10, 1)
+            rows.append(r)
+            print(
+                f"(PERF) {name} {iters}it [{r['backend']}]: "
+                f"{r['ms_per_call']} ms, {r['coded_mbps']} Mbps coded, "
+                f"roofline {r['roofline_frac']} ({r['bound']}-bound) "
+                f"[{time.time()-t0:.0f}s]",
+                flush=True,
+            )
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("# Benchmark results (single chip)\n\n")
+        f.write(f"Device: {jax.devices()[0].device_kind}; ")
+        f.write("coded-bit throughput, OMS, reference accounting "
+                "(`main.cpp:311-315`).\n\n")
+        f.write("| code | backend | iters | batch | ms/call | Mbps coded "
+                "| roofline | vs best GPU baseline |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            vs = (
+                f"{r['vs_baseline']}x (vs {r['baseline_mbps']})"
+                if r.get("vs_baseline")
+                else "—"
+            )
+            f.write(
+                f"| {r['code']} | {r['backend']} | {r['iters']} "
+                f"| {r['batch']} | {r['ms_per_call']} | {r['coded_mbps']} "
+                f"| {r['roofline_frac']} ({r['bound']}) | {vs} |\n"
+            )
+        f.write("\nRaw records:\n\n```json\n")
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("```\n")
+    print(f"(II) wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

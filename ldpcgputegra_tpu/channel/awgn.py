@@ -75,9 +75,8 @@ def _generate_float(key, tx_bits, sigma, spec: ChannelSpec):
     k_noise, k_fade = jax.random.split(key)
     noise = sigma * jax.random.normal(k_noise, symbols.shape, jnp.float32)
     if spec.fading == "rayleigh":
-        h = jax.random.rayleigh(k_fade, symbols.shape, jnp.float32) * (
-            _INV_SQRT2  # E[h^2] = 1
-        )
+        g = jax.random.normal(k_fade, (2, *symbols.shape), jnp.float32)
+        h = jnp.sqrt((g[0] * g[0] + g[1] * g[1]) * 0.5)  # E[h^2] = 1
         # matched filter (perfect CSI): y = h*(h*x + n) keeps the LLR sign
         y = h * (h * symbols + noise)
     else:

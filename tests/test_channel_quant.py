@@ -148,3 +148,32 @@ def test_make_encoder_auto():
     if not isinstance(enc, FakeEncoder):
         for b in range(2):
             assert syndrome_ok(code, coded[b])
+
+
+def test_rayleigh_fading_statistics():
+    """Matched-filter Rayleigh output: E[y] = E[h^2]*(-1) = -1 for bit 0,
+    and BER is much worse than AWGN at the same SNR (fading penalty)."""
+    from ldpcgputegra_tpu.channel import AwgnChannel, ChannelSpec
+
+    n = 4000
+    tx = np.zeros((128, n), np.int8)
+    ray = AwgnChannel(n, 2000, ChannelSpec(fading="rayleigh"))
+    awgn = AwgnChannel(n, 2000, ChannelSpec())
+    ray.configure(6.0)
+    awgn.configure(6.0)
+    yr = np.asarray(ray.generate_float(jax.random.key(1), tx))
+    ya = np.asarray(awgn.generate_float(jax.random.key(1), tx))
+    assert yr.mean() == pytest.approx(-1.0, abs=0.02)
+    ber_ray = (yr > 0).mean()
+    ber_awgn = (ya > 0).mean()
+    assert ber_ray > 3 * ber_awgn
+
+
+def test_llr_histogram():
+    from ldpcgputegra_tpu.quant import QuantSpec, llr_histogram
+
+    q = np.array([-31, -31, 0, 5, 31], np.int8)
+    h = llr_histogram(q, QuantSpec())
+    assert h[-31] == pytest.approx(40.0)
+    assert h[31] == pytest.approx(20.0)
+    assert sum(h.values()) == pytest.approx(100.0)

@@ -1,0 +1,48 @@
+"""Fake decoder, hybrid decoder, and debug utilities."""
+
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.codes.registry import load_code
+from ldpcgputegra_tpu.decoder.extras import make_fake_decoder, make_hybrid_decoder
+from ldpcgputegra_tpu.golden.native import native_available
+from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
+from ldpcgputegra_tpu.utils.debug import check_dataset
+
+
+def _llrs(n, b, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        8.0 * rng.normal(-1.0, 0.8, size=(b, n)), -31, 31
+    ).astype(np.int8)
+
+
+def test_fake_decoder_passthrough():
+    code = load_code("576x288")
+    dec = make_fake_decoder(code)
+    llr = _llrs(code.N, 4)
+    bits, used = dec(llr)
+    np.testing.assert_array_equal(np.asarray(bits), (llr > 0).astype(np.uint8))
+    assert int(used) == 0
+
+
+@pytest.mark.skipif(not native_available(), reason="native oracle not built")
+def test_hybrid_decoder_matches_pure_device():
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=5)
+    hybrid = make_hybrid_decoder(code, spec, host_fraction=0.5, backend="xla")
+    pure = make_layered_decoder(code, spec)
+    llr = _llrs(code.N, 256, seed=3)
+    hb, _ = hybrid(llr)
+    pb, _ = pure(llr)
+    np.testing.assert_array_equal(hb, np.asarray(pb))
+
+
+def test_check_dataset(capsys):
+    a = np.arange(10)
+    assert check_dataset("same", a, a.copy())
+    b = a.copy()
+    b[3] = 99
+    assert not check_dataset("diff", a, b)
+    out = capsys.readouterr().out
+    assert "OK" in out and "differ" in out
