@@ -52,6 +52,10 @@ class GoldenParams:
     nms_factor2: float = 0.875  # 2NMS second factor
     early_term: bool = False
     minclamp: str = "pre"  # 'pre' = scalar x86 oracle, 'post' = GPU kernels
+    # configurable quantization ranges (reference -var/-msg flags ->
+    # setVarRange/setMsgRange, CDecoder_fixed.h:30-43)
+    sat_var: int = SAT_VAR
+    sat_msg: int = SAT_MSG
 
 
 def _sat(v: int, s: int) -> int:
@@ -60,11 +64,11 @@ def _sat(v: int, s: int) -> int:
 
 def _f_consts(min1: int, min2: int, p: GoldenParams) -> tuple[int, int]:
     if p.algo == "MS":
-        return min(min2, SAT_MSG), min(min1, SAT_MSG)
+        return min(min2, p.sat_msg), min(min1, p.sat_msg)
     if p.algo == "OMS":
         return (
-            min(max(min2 - p.offset, 0), SAT_MSG),
-            min(max(min1 - p.offset, 0), SAT_MSG),
+            min(max(min2 - p.offset, 0), p.sat_msg),
+            min(max(min1 - p.offset, 0), p.sat_msg),
         )
     if p.algo == "NMS":
         return int(min2 * p.nms_factor), int(min1 * p.nms_factor)
@@ -84,6 +88,7 @@ def decode_golden(
     decision bit = (app > 0)  (``CDecoder_OMS_fixed_x86.cpp:199-201``).
     """
     assert llr.shape == (code.N,)
+    sv, sm = params.sat_var, params.sat_msg
     v = llr.astype(np.int64).copy()
     msgs = [np.zeros_like(ci, dtype=np.int64) for ci in code.class_idx]
     it_used = params.iters
@@ -93,12 +98,12 @@ def decode_golden(
             count, deg = ci.shape
             for c in range(count):
                 contrib = np.empty(deg, dtype=np.int64)
-                min1, min2 = SAT_VAR + 1, SAT_VAR + 1
+                min1, min2 = sv + 1, sv + 1
                 parity = 0
                 for j in range(deg):
-                    vc = _sat(int(v[ci[c, j]]) - int(mg[c, j]), SAT_VAR)
+                    vc = _sat(int(v[ci[c, j]]) - int(mg[c, j]), sv)
                     contrib[j] = vc
-                    a = abs(_sat(vc, SAT_MSG)) if params.minclamp == "pre" else abs(vc)
+                    a = abs(_sat(vc, sm)) if params.minclamp == "pre" else abs(vc)
                     if a < min1:
                         min2 = min1
                         min1 = a
@@ -108,14 +113,14 @@ def decode_golden(
                 f1, f2 = _f_consts(min1, min2, params)
                 for j in range(deg):
                     vc = int(contrib[j])
-                    a = abs(_sat(vc, SAT_MSG)) if params.minclamp == "pre" else abs(vc)
+                    a = abs(_sat(vc, sm)) if params.minclamp == "pre" else abs(vc)
                     mag = f1 if a == min1 else f2
                     s = parity ^ (1 if vc > 0 else 0)
                     m = mag if s == 1 else -mag
                     if params.minclamp == "pre":
-                        m = _sat(m, SAT_MSG)
+                        m = _sat(m, sm)
                     mg[c, j] = m
-                    v[ci[c, j]] = _sat(vc + m, SAT_VAR)
+                    v[ci[c, j]] = _sat(vc + m, sv)
                 ov_sign |= parity
         if params.early_term and ov_sign == 0:
             it_used = it + 1

@@ -55,7 +55,7 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i8p, ctypes.c_int, ctypes.c_int, i8p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
     ]
     lib.ldpc_decode_golden.restype = None
     lib.ldpc_syndrome_ok.argtypes = [
@@ -110,6 +110,7 @@ def decode_golden_native(
         _ALGO_IDS[params.algo], params.iters, params.offset,
         1 if params.minclamp == "pre" else 0,
         1 if params.early_term else 0,
+        params.sat_var, params.sat_msg,
         _p32(used),
     )
     return out, used

@@ -78,10 +78,13 @@ def _f_consts(min1, min2, spec: LayeredSpec):
     """Message magnitudes (f1 = min edge, f2 = others); integer-exact forms
     of the variant math in CUDA_{MS,OMS,NMS,2NMS}_SIMD.cu (see ops.layered)."""
     if spec.algo == "MS":
-        return jnp.minimum(min2, SAT_MSG), jnp.minimum(min1, SAT_MSG)
+        return (
+            jnp.minimum(min2, spec.sat_msg),
+            jnp.minimum(min1, spec.sat_msg),
+        )
     if spec.algo == "OMS":
-        f1 = jnp.minimum(jnp.maximum(min2 - spec.offset, 0), SAT_MSG)
-        f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), SAT_MSG)
+        f1 = jnp.minimum(jnp.maximum(min2 - spec.offset, 0), spec.sat_msg)
+        f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), spec.sat_msg)
         return f1, f2
     if spec.algo == "NMS":
         return (min2 * 3) >> 2, (min1 * 3) >> 2
@@ -102,16 +105,17 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         mrow = None
         if me is not None:
             mrow = _row_mask(Z, layer.qc.mask_rows)  # deficient circulant
+        sv, sm = spec.sat_var, spec.sat_msg
         rolled = []
         contribs = []
         for j in range(deg):
             v = _roll(v_ref[cols[j]], shifts[j], Z)  # int32 slab
             m = m_ref[moff + j].astype(_CT)
-            c = jnp.clip(v - m, -SAT_VAR, SAT_VAR)
+            c = jnp.clip(v - m, -sv, sv)
             if me is not None and j == me:
                 # neutralize the nonexistent edge: -SAT_VAR is parity-
                 # neutral (sign 0) and never the min (see codes/code.py)
-                c = jnp.where(mrow, -SAT_VAR, c)
+                c = jnp.where(mrow, -sv, c)
             rolled.append(v)
             contribs.append(c)
         # running two-min + sign parity (order == CUDA_MS_SIMD.cu:165-171)
@@ -120,7 +124,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         min1 = min2 = None
         for j, c in enumerate(contribs):
             if spec.minclamp == "pre":
-                a = jnp.abs(jnp.clip(c, -SAT_MSG, SAT_MSG))
+                a = jnp.abs(jnp.clip(c, -sm, sm))
             else:
                 a = jnp.abs(c)
             s = (c > 0).astype(_CT)
@@ -128,7 +132,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             sgns.append(s)
             if j == 0:
                 min1 = a
-                min2 = jnp.full_like(a, SAT_VAR + 1)
+                min2 = jnp.full_like(a, sv + 1)
             else:
                 min2 = jnp.minimum(min2, jnp.maximum(a, min1))
                 min1 = jnp.minimum(min1, a)
@@ -140,8 +144,8 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             mag = jnp.where(mags[j] == min1, f1, f2)
             m_new = jnp.where((parity ^ sgns[j]) == 1, mag, -mag)
             if spec.minclamp == "pre":
-                m_new = jnp.clip(m_new, -SAT_MSG, SAT_MSG)
-            v_new = jnp.clip(contribs[j] + m_new, -SAT_VAR, SAT_VAR)
+                m_new = jnp.clip(m_new, -sm, sm)
+            v_new = jnp.clip(contribs[j] + m_new, -sv, sv)
             if active is not None:
                 v_new = jnp.where(active, v_new, rolled[j])
                 m_new = jnp.where(active, m_new, m_ref[moff + j].astype(_CT))

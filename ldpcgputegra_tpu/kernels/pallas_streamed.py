@@ -114,6 +114,8 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
             if me is not None:
                 mrow = _row_mask(Z, layer.qc.mask_rows)
 
+            sv, sm = spec.sat_var, spec.sat_msg
+
             def contrib(j):
                 # recomputed in the writeback loop instead of kept live:
                 # VMEM headroom matters more than the ~20% extra VPU ops
@@ -123,14 +125,14 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 v = _roll(app_ref[cols[j]].astype(_CT), shifts[j], Z)
                 if not first_iter:
                     v = v - msgbuf_ref[slot, j].astype(_CT)
-                c = jnp.clip(v, -SAT_VAR, SAT_VAR)
+                c = jnp.clip(v, -sv, sv)
                 if me is not None and j == me:
-                    c = jnp.where(mrow, -SAT_VAR, c)
+                    c = jnp.where(mrow, -sv, c)
                 return c
 
             def a_of(c):
                 if spec.minclamp == "pre":
-                    return jnp.abs(jnp.clip(c, -SAT_MSG, SAT_MSG))
+                    return jnp.abs(jnp.clip(c, -sm, sm))
                 return jnp.abs(c)
 
             min1 = min2 = parity = None
@@ -140,7 +142,7 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 s = (c > 0).astype(_CT)
                 if j == 0:
                     min1 = a
-                    min2 = jnp.full_like(a, SAT_VAR + 1)
+                    min2 = jnp.full_like(a, sv + 1)
                     parity = s
                 else:
                     min2 = jnp.minimum(min2, jnp.maximum(a, min1))
@@ -154,8 +156,8 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 mag = jnp.where(a == min1, f1, f2)
                 m_new = jnp.where((parity ^ sgn) == 1, mag, -mag)
                 if spec.minclamp == "pre":
-                    m_new = jnp.clip(m_new, -SAT_MSG, SAT_MSG)
-                v_new = jnp.clip(c + m_new, -SAT_VAR, SAT_VAR)
+                    m_new = jnp.clip(m_new, -sm, sm)
+                v_new = jnp.clip(c + m_new, -sv, sv)
                 if me is not None and j == me:
                     # nonexistent edge: restore APP, keep message at zero
                     old = _roll(app_ref[cols[j]].astype(_CT), shifts[j], Z)

@@ -17,26 +17,23 @@
 
 namespace {
 
-constexpr int kSatVar = 127;
-constexpr int kSatMsg = 31;
-
 inline int sat(int v, int s) { return v < -s ? -s : (v > s ? s : v); }
 
 enum Algo { MS = 0, OMS = 1, NMS = 2, TWO_NMS = 3 };
 
-inline void f_consts(int algo, int offset, int min1, int min2, int* f1,
-                     int* f2) {
+inline void f_consts(int algo, int offset, int min1, int min2, int sat_msg,
+                     int* f1, int* f2) {
   switch (algo) {
     case MS:
-      *f1 = min2 < kSatMsg ? min2 : kSatMsg;
-      *f2 = min1 < kSatMsg ? min1 : kSatMsg;
+      *f1 = min2 < sat_msg ? min2 : sat_msg;
+      *f2 = min1 < sat_msg ? min1 : sat_msg;
       return;
     case OMS: {
       int a = min2 - offset, b = min1 - offset;
       a = a < 0 ? 0 : a;
       b = b < 0 ? 0 : b;
-      *f1 = a < kSatMsg ? a : kSatMsg;
-      *f2 = b < kSatMsg ? b : kSatMsg;
+      *f1 = a < sat_msg ? a : sat_msg;
+      *f2 = b < sat_msg ? b : sat_msg;
       return;
     }
     case NMS:
@@ -64,7 +61,10 @@ void ldpc_decode_golden(const int32_t* class_degs, const int32_t* class_counts,
                         int n_classes, const int32_t* edges, int n_edges,
                         const int8_t* llr, int frames, int n, int8_t* out_bits,
                         int algo, int iters, int offset, int minclamp_pre,
-                        int early_term, int32_t* iters_used) {
+                        int early_term, int sat_var, int sat_msg,
+                        int32_t* iters_used) {
+  const int kSatVar = sat_var;
+  const int kSatMsg = sat_msg;
   std::vector<int> v(n);
   std::vector<int> msgs(n_edges);
   std::vector<int> contrib(256);
@@ -97,7 +97,7 @@ void ldpc_decode_golden(const int32_t* class_degs, const int32_t* class_counts,
             parity ^= (vc > 0) ? 1 : 0;
           }
           int f1, f2;
-          f_consts(algo, offset, min1, min2, &f1, &f2);
+          f_consts(algo, offset, min1, min2, kSatMsg, &f1, &f2);
           for (int j = 0; j < deg; ++j) {
             int vc = contrib[j];
             int a = minclamp_pre ? abs(sat(vc, kSatMsg)) : abs(vc);

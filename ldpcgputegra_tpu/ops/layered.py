@@ -53,6 +53,9 @@ class LayeredSpec:
     early_term: bool = False
     minclamp: str = "pre"  # 'pre' = x86 oracle, 'post' = GPU kernels
     schedule: str = "auto"  # reference | colored | auto
+    # configurable quantization ranges (-var/-msg; setVarRange/setMsgRange)
+    sat_var: int = SAT_VAR
+    sat_msg: int = SAT_MSG
 
 
 def _f_consts(min1, min2, spec: LayeredSpec):
@@ -64,10 +67,13 @@ def _f_consts(min1, min2, spec: LayeredSpec):
     non-negative ints; MS plain 31-saturation (CUDA_MS_SIMD.cu:73-74).
     """
     if spec.algo == "MS":
-        return jnp.minimum(min2, SAT_MSG), jnp.minimum(min1, SAT_MSG)
+        return (
+            jnp.minimum(min2, spec.sat_msg),
+            jnp.minimum(min1, spec.sat_msg),
+        )
     if spec.algo == "OMS":
-        f1 = jnp.minimum(jnp.maximum(min2 - spec.offset, 0), SAT_MSG)
-        f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), SAT_MSG)
+        f1 = jnp.minimum(jnp.maximum(min2 - spec.offset, 0), spec.sat_msg)
+        f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), spec.sat_msg)
         return f1, f2
     if spec.algo == "NMS":
         return (min2 * 3) >> 2, (min1 * 3) >> 2
@@ -89,13 +95,17 @@ def _cn_update(contribs: list, spec: LayeredSpec):
     Returns (new messages list, parity) — parity is the XOR of contribution
     signs (1 bit per check per codeword), 0 when the check is satisfied.
     """
-    big = jnp.asarray(SAT_VAR + 1, _CT)
+    big = jnp.asarray(spec.sat_var + 1, _CT)
     min1 = None
     min2 = None
     sgns = []
     mags = []
     for c in contribs:
-        a = jnp.abs(jnp.clip(c, -SAT_MSG, SAT_MSG)) if spec.minclamp == "pre" else jnp.abs(c)
+        a = (
+            jnp.abs(jnp.clip(c, -spec.sat_msg, spec.sat_msg))
+            if spec.minclamp == "pre"
+            else jnp.abs(c)
+        )
         mags.append(a)
         sgns.append((c > 0).astype(_CT))
         if min1 is None:
@@ -113,7 +123,7 @@ def _cn_update(contribs: list, spec: LayeredSpec):
         mag = jnp.where(a == min1, f1, f2)
         m = jnp.where((parity ^ s) == 1, mag, -mag)
         if spec.minclamp == "pre":
-            m = jnp.clip(m, -SAT_MSG, SAT_MSG)
+            m = jnp.clip(m, -spec.sat_msg, spec.sat_msg)
         new_msgs.append(m)
     return new_msgs, parity
 
@@ -138,18 +148,17 @@ def _layer_step_qc(V3, msg, layer: Layer, spec: LayeredSpec, active=None):
         m_np[layer.qc.mask_rows] = True
         mrow = jnp.asarray(m_np)
     rolled = [_roll(V3[cols[j]], shifts[j]) for j in range(deg)]
+    sv = spec.sat_var
     contribs = [
-        jnp.clip(rolled[j].astype(_CT) - msg[j].astype(_CT), -SAT_VAR, SAT_VAR)
+        jnp.clip(rolled[j].astype(_CT) - msg[j].astype(_CT), -sv, sv)
         for j in range(deg)
     ]
     if me is not None:
-        contribs[me] = jnp.where(
-            mrow, jnp.asarray(-SAT_VAR, _CT), contribs[me]
-        )
+        contribs[me] = jnp.where(mrow, jnp.asarray(-sv, _CT), contribs[me])
     new_msgs, parity = _cn_update(contribs, spec)
     out_msg = []
     for j in range(deg):
-        v_new = jnp.clip(contribs[j] + new_msgs[j], -SAT_VAR, SAT_VAR).astype(_ST)
+        v_new = jnp.clip(contribs[j] + new_msgs[j], -sv, sv).astype(_ST)
         m_new = new_msgs[j].astype(_ST)
         if active is not None:
             v_new = jnp.where(active[None, :], v_new, rolled[j])
@@ -167,13 +176,14 @@ def _layer_step_gather(V, msg, layer: Layer, spec: LayeredSpec, active=None):
     idx = jnp.asarray(layer.idx.T)  # [deg, G] static constants
     deg, G = idx.shape
     gathered = V[idx.reshape(-1)].reshape(deg, G, -1).astype(_CT)
+    sv = spec.sat_var
     contribs = [
-        jnp.clip(gathered[j] - msg[j].astype(_CT), -SAT_VAR, SAT_VAR)
+        jnp.clip(gathered[j] - msg[j].astype(_CT), -sv, sv)
         for j in range(deg)
     ]
     new_msgs, parity = _cn_update(contribs, spec)
     v_new = jnp.stack(
-        [jnp.clip(contribs[j] + new_msgs[j], -SAT_VAR, SAT_VAR) for j in range(deg)]
+        [jnp.clip(contribs[j] + new_msgs[j], -sv, sv) for j in range(deg)]
     ).astype(_ST)
     m_new = jnp.stack(new_msgs).astype(_ST)
     if active is not None:

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-fraq equivalent (FACTEUR_BETA)")
     e.add_argument("--llr-bits", dest="bits_llr", type=int, default=6,
                    help="-llr equivalent (quantizer width)")
+    e.add_argument("--var-bits", type=int, default=8,
+                   help="-var equivalent (APP width; sat 2^(b-1)-1)")
+    e.add_argument("--msg-bits", type=int, default=6,
+                   help="-msg equivalent (message width)")
 
     o = p.add_argument_group("io")
     o.add_argument("--seed", type=int, default=1234)

@@ -70,6 +70,8 @@ class SweepConfig:
     random_bits: bool = True  # -random (ignored for fake encoder)
     quant_factor: int = 8
     bits_llr: int = 6
+    var_bits: int = 8  # -var: APP quantizer width -> sat 2^(b-1)-1
+    msg_bits: int = 6  # -msg: message quantizer width
 
     seed: int = 1234  # reference channel seed default
 
@@ -141,6 +143,8 @@ def run_sweep(
         early_term=cfg.early_term,
         minclamp=cfg.minclamp,
         schedule=cfg.schedule,
+        sat_var=(1 << (cfg.var_bits - 1)) - 1,
+        sat_msg=(1 << (cfg.msg_bits - 1)) - 1,
     )
     decoder = make_decoder(code, spec, backend=cfg.backend)
     is_fake = isinstance(encoder, FakeEncoder)
