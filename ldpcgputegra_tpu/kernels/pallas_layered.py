@@ -237,13 +237,21 @@ def make_pallas_decoder(
     Z = code.Z
     Nb = code.N // Z
     n_msg_slabs = sum(l.deg for l in code.layers)
-    TB = batch_tile if batch_tile is not None else pick_batch_tile(code)
+    TB_max = batch_tile if batch_tile is not None else pick_batch_tile(code)
+    kernels: dict[int, object] = {}
 
-    kernel = _build_kernel(code, spec, Z, TB)
+    def _tile_for(B: int) -> int:
+        tb = min(TB_max, B)
+        while B % tb:
+            tb -= 128
+        return tb
 
-    def _call(llr3):  # [Nb, Z, B]
+    def _call(llr3):  # [Nb, Z, B], B a multiple of 128
         B = llr3.shape[-1]
-        assert B % TB == 0, f"batch {B} not a multiple of tile {TB}"
+        TB = _tile_for(B)
+        if TB not in kernels:
+            kernels[TB] = _build_kernel(code, spec, Z, TB)
+        kernel = kernels[TB]
         return pl.pallas_call(
             kernel,
             grid=(B // TB,),
@@ -275,7 +283,13 @@ def make_pallas_decoder(
     @jax.jit
     def decode(llr):
         llr = jnp.asarray(llr, _ST)
-        B = llr.shape[0]
+        B0 = llr.shape[0]
+        pad = (-B0) % 128  # lane-pad small/ragged batches
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, code.N), _ST)], axis=0
+            )
+        B = B0 + pad
         if perm is not None:
             llr = llr[:, perm]  # QC-ified view: to QC column order
         # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
@@ -284,6 +298,8 @@ def make_pallas_decoder(
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
         if inv_perm is not None:
             bits = bits[:, inv_perm]
+        if pad:
+            bits = bits[:B0]
         return bits, jnp.asarray(spec.iters, jnp.int32)
 
     return decode

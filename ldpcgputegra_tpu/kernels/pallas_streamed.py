@@ -242,11 +242,22 @@ def make_streamed_decoder(
     assert not spec.early_term, "streamed kernel: early_term unsupported"
     Z = code.Z
     Nb = code.N // Z
-    TB = batch_tile if batch_tile is not None else streamed_batch_tile(code)
+    TB_max = (
+        batch_tile if batch_tile is not None else streamed_batch_tile(code)
+    )
     maxdeg = max(l.deg for l in code.layers)
-    kernel, n_slabs = _build_streamed_kernel(code, spec, TB)
+    kernels: dict[int, tuple] = {}
 
-    def _call(llr4):  # [T, Nb, Z, TB]
+    def _tile_for(B: int) -> int:
+        tb = min(TB_max, B)
+        while B % tb:
+            tb -= 128
+        return tb
+
+    def _call(llr4, TB):  # [T, Nb, Z, TB]
+        if TB not in kernels:
+            kernels[TB] = _build_streamed_kernel(code, spec, TB)
+        kernel, n_slabs = kernels[TB]
         T = llr4.shape[0]
         msg_init = jnp.zeros((n_slabs, Z, TB), _ST)
         out, _ = pl.pallas_call(
@@ -288,19 +299,27 @@ def make_streamed_decoder(
     @jax.jit
     def decode(llr):
         llr = jnp.asarray(llr, _ST)
-        B = llr.shape[0]
-        assert B % TB == 0, f"batch {B} not a multiple of tile {TB}"
+        B0 = llr.shape[0]
+        pad = (-B0) % 128  # lane-pad small/ragged batches
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, code.N), _ST)], axis=0
+            )
+        B = B0 + pad
+        TB = _tile_for(B)
         T = B // TB
         if perm is not None:
             llr = llr[:, perm]
         # [B, N] -> tile-major [T, Nb, Z, TB]
         llr4 = llr.T.reshape(Nb, Z, T, TB).transpose(2, 0, 1, 3)
-        out4 = _call(llr4)
+        out4 = _call(llr4, TB)
         bits = (
             out4.transpose(1, 2, 0, 3).reshape(code.N, B).T.astype(jnp.uint8)
         )
         if inv_perm is not None:
             bits = bits[:, inv_perm]
+        if pad:
+            bits = bits[:B0]
         return bits, jnp.asarray(spec.iters, jnp.int32)
 
     return decode
