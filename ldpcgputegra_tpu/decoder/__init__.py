@@ -58,11 +58,10 @@ def effective_code(code: LdpcCode) -> LdpcCode:
 
 
 def _pallas_fits(code: LdpcCode) -> bool:
-    from ..kernels.pallas_layered import pick_batch_tile
+    from ..kernels.pallas_layered import pick_batch_tile, vmem_per_lane
 
     tb = pick_batch_tile(code)
-    per_lane = 4 * code.N + code.M + 4 * code.N + 16 * (code.Z or 64)
-    return tb * per_lane <= (11 << 20)
+    return tb * vmem_per_lane(code) <= (100 << 20)
 
 
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:

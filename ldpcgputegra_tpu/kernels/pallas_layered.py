@@ -207,14 +207,22 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
     return kernel
 
 
-def pick_batch_tile(code: LdpcCode, vmem_budget: int = 11 << 20) -> int:
-    """Largest 128-multiple lane tile whose working set fits VMEM.
+def vmem_per_lane(code: LdpcCode) -> int:
+    """Estimated VMEM bytes per lane: int32 APP (4N) + int8 messages (M) +
+    double-buffered int8 in/out tiles (4N) + int32 CN temporaries
+    (~4 arrays x maxdeg x Z x 4B)."""
+    maxdeg = max(l.deg for l in code.layers)
+    return 4 * code.N + code.M + 4 * code.N + 16 * maxdeg * (code.Z or 64)
 
-    Working set per lane: int32 APP (4N) + int8 messages (M) + double-
-    buffered int8 in/out tiles (4N) + headroom for rolled temporaries.
-    """
-    per_lane = 4 * code.N + code.M + 4 * code.N + 16 * (code.Z or 64)
-    tb = 1024
+
+def pick_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20) -> int:
+    """Lane tile whose working set fits VMEM (v5e-class chips have
+    ~128 MB; the 16 MB figure often quoted is only the default scoped
+    limit).  Capped at 256: measured throughput on v5e peaks there —
+    larger tiles fit but run ~30% slower (bigger live sets scheduler
+    worse), smaller ones under-utilize lanes."""
+    per_lane = vmem_per_lane(code)
+    tb = 256
     while tb > 128 and tb * per_lane > vmem_budget:
         tb //= 2
     return tb
@@ -270,6 +278,11 @@ def make_pallas_decoder(
                 pltpu.VMEM((n_msg_slabs, Z, TB), _ST),  # c2v messages
                 pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(
+                    int(vmem_per_lane(code) * TB * 1.25), 120 << 20
+                ),
+            ),
             interpret=interpret,
         )(llr3)
 

@@ -44,14 +44,19 @@ _CT = jnp.int32
 _ST = jnp.int8
 
 
-def streamed_batch_tile(code: LdpcCode, vmem_budget: int = 12 << 20) -> int:
-    """Largest 128-multiple lane tile fitting the streamed working set:
-    int8 APP (N) + 2 msg slots (2*maxdeg*Z) + int32 temporaries
-    (~2*maxdeg*Z*4 for contributions and CN state)."""
+def streamed_vmem_per_lane(code: LdpcCode) -> int:
+    """int8 APP (N) + 2 msg slots (2*maxdeg*Z) + int32 CN temporaries."""
     maxdeg = max(l.deg for l in code.layers)
     z = code.Z
-    per_lane = code.N + 2 * maxdeg * z + 10 * maxdeg * z
-    tb = 512
+    return code.N + 2 * maxdeg * z + 10 * maxdeg * z
+
+
+def streamed_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20) -> int:
+    """Lane tile fitting the streamed working set (v5e-class VMEM is
+    ~128 MB; 16 MB is only the default scoped limit).  Capped at 256 like
+    the VMEM kernel (larger tiles measured slower there)."""
+    per_lane = streamed_vmem_per_lane(code)
+    tb = 256
     while tb > 128 and tb * per_lane > vmem_budget:
         tb //= 2
     return tb
@@ -284,7 +289,9 @@ def make_streamed_decoder(
             ],
             input_output_aliases={1: 1},
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(15.5 * 1024 * 1024),
+                vmem_limit_bytes=min(
+                    int(streamed_vmem_per_lane(code) * TB * 1.4), 120 << 20
+                ),
             ),
         )(llr4, msg_init)
         return out

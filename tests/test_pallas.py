@@ -65,9 +65,16 @@ def test_pallas_matches_xla_path():
 
 
 def test_pick_batch_tile_fits_vmem():
-    from ldpcgputegra_tpu.kernels.pallas_layered import pick_batch_tile
+    from ldpcgputegra_tpu.kernels.pallas_layered import (
+        pick_batch_tile,
+        vmem_per_lane,
+    )
 
-    small = load_code("576x288")
-    assert pick_batch_tile(small) >= 512
+    for name in ("576x288", "2304x1152", "16200x7560"):
+        code = load_code(name)
+        tb = pick_batch_tile(code)
+        assert 128 <= tb <= 1024 and tb % 128 == 0
+        assert tb * vmem_per_lane(code) <= (100 << 20)
+    # a tighter budget must shrink the tile
     big = load_code("2304x1152")
-    assert 128 <= pick_batch_tile(big) <= 512
+    assert pick_batch_tile(big, vmem_budget=11 << 20) < pick_batch_tile(big)
