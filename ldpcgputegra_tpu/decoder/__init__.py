@@ -70,10 +70,7 @@ def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str
     code = effective_code(code)
     if backend == "auto":
         if pallas_supported(code, spec) and _on_tpu():
-            if _pallas_fits(code):
-                return "pallas"
-            if not spec.early_term:
-                return "pallas-streamed"
+            return "pallas" if _pallas_fits(code) else "pallas-streamed"
         return "xla"
     return backend
 

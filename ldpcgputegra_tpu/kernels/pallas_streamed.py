@@ -21,8 +21,11 @@ traffic; we must tile deliberately"):
   tile after tile.
 
 Same CN math, saturation, variant and deficient-circulant semantics as
-``pallas_layered`` (bit-exact by test contract).  Early termination is not
-supported here (fall back to the XLA path if required).
+``pallas_layered`` (bit-exact by test contract).  Early termination
+freezes converged lanes and predicates whole iterations (DMAs included —
+all-or-nothing per iteration keeps the semaphore drain bookkeeping exact:
+the pending set at kernel end always belongs to the last *executed*
+iteration).
 """
 
 from __future__ import annotations
@@ -87,7 +90,7 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
     carry_out_layer = q - 1 if q % 2 == 0 else q - 2  # slot-1 carryover
 
     def kernel(llr_ref, msg_io_ref, out_ref, msg_out_alias, app_ref,
-               msgbuf_ref, in_sems, out_sems, app_sem):
+               msgbuf_ref, unsat_ref, in_sems, out_sems, app_sem):
         del msg_out_alias  # aliased storage of msg_io_ref
 
         def msg_in(li: int, slot: int):
@@ -106,9 +109,11 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 out_sems.at[slot],
             )
 
-        def layer_compute(li: int, first_iter: bool):
+        def layer_compute(li: int, first_iter: bool, active=None):
             """CN update for layer li; messages in msgbuf[li%2] (treated
-            as zero on the first iteration)."""
+            as zero on the first iteration).  ``active`` is a [1, TB]
+            lane mask: converged lanes keep their APP/messages.  Returns
+            the [Z, TB] check parity (0 = satisfied)."""
             layer = layers[li]
             slot = li % 2
             cols = layer.qc.cols.tolist()
@@ -163,18 +168,28 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 if spec.minclamp == "pre":
                     m_new = jnp.clip(m_new, -sm, sm)
                 v_new = jnp.clip(c + m_new, -sv, sv)
+                if active is not None or (me is not None and j == me):
+                    old_v = _roll(app_ref[cols[j]].astype(_CT), shifts[j], Z)
+                if active is not None:
+                    m_old = msgbuf_ref[slot, j].astype(_CT)
+                    v_new = jnp.where(active, v_new, old_v)
+                    m_new = jnp.where(active, m_new, m_old)
                 if me is not None and j == me:
                     # nonexistent edge: restore APP, keep message at zero
-                    old = _roll(app_ref[cols[j]].astype(_CT), shifts[j], Z)
-                    v_new = jnp.where(mrow, old, v_new)
+                    v_new = jnp.where(mrow, old_v, v_new)
                     m_new = jnp.where(mrow, 0, m_new)
                 app_ref[cols[j]] = _roll(v_new, -shifts[j], Z).astype(_ST)
                 msgbuf_ref[slot, j] = m_new.astype(_ST)
+            return parity
 
         def run_iteration(first_iter: bool):
             """One layered iteration with the message-stream pipeline.
             Precondition (steady state): in-DMA for layer 0 started into
             slot 0.  Postcondition: same for the next iteration."""
+            active = None
+            if spec.early_term:
+                active = (unsat_ref[0] != 0)[None, :]
+            unsat = None
             for li in range(q):
                 slot = li % 2
                 if not first_iter:
@@ -183,7 +198,11 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     # first iteration writes slots without in-DMAs; make
                     # sure the previous out-DMA from this slot finished
                     msg_out(li - 2, slot).wait()
-                layer_compute(li, first_iter)
+                parity = layer_compute(li, first_iter, active)
+                if spec.early_term:
+                    unsat = (
+                        parity if unsat is None else jnp.maximum(unsat, parity)
+                    )
                 msg_out(li, slot).start()
                 # prefetch the next layer's messages (next iteration's
                 # layer 0 at the boundary — always into slot 0)
@@ -201,17 +220,30 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 else:
                     msg_out(last_slot0_layer, 0).wait()
                     msg_in(0, 0).start()
+            if spec.early_term:
+                lane_unsat = unsat.max(axis=0)  # [TB] int32
+                unsat_ref[0] = jnp.minimum(unsat_ref[0], lane_unsat)
 
         def tile_body(t, _):
             # LLR tile -> APP
             cp = pltpu.make_async_copy(llr_ref.at[t], app_ref, app_sem)
             cp.start()
             cp.wait()
+            if spec.early_term:
+                unsat_ref[...] = jnp.ones_like(unsat_ref)
             run_iteration(first_iter=True)
 
             def steady(it, carry):
                 del it
-                run_iteration(first_iter=False)
+                if spec.early_term:
+                    # all-or-nothing per iteration: skipped iterations run
+                    # no compute AND no DMAs, so the drain set below still
+                    # matches the last executed iteration exactly
+                    @pl.when(jnp.any(unsat_ref[0] != 0))
+                    def _():
+                        run_iteration(first_iter=False)
+                else:
+                    run_iteration(first_iter=False)
                 return carry
 
             if spec.iters > 1:
@@ -244,7 +276,6 @@ def make_streamed_decoder(
     """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters)`` for
     large QC codes (message stream through HBM)."""
     assert pallas_supported(code, spec), f"{code.name}: not all-QC layers"
-    assert not spec.early_term, "streamed kernel: early_term unsupported"
     Z = code.Z
     Nb = code.N // Z
     TB_max = (
@@ -283,6 +314,7 @@ def make_streamed_decoder(
             scratch_shapes=[
                 pltpu.VMEM((Nb, Z, TB), _ST),  # APP
                 pltpu.VMEM((2, maxdeg, Z, TB), _ST),  # msg slots
+                pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
                 pltpu.SemaphoreType.DMA((2,)),  # in sems
                 pltpu.SemaphoreType.DMA((2,)),  # out sems
                 pltpu.SemaphoreType.DMA(()),  # app/bits sem
