@@ -65,6 +65,7 @@ class ChannelSpec:
     es_n0: bool = False
     normalize: bool = False  # -norm-channel: scale output by 2/sigma^2
     fading: str = "none"  # none | rayleigh
+    opt_llr: bool = False  # -ollr: adapt quantizer scale to sigma
     quant: QuantSpec = QuantSpec()
 
 
@@ -87,17 +88,19 @@ def _generate_float(key, tx_bits, sigma, spec: ChannelSpec):
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def _generate_int8(key, tx_bits, sigma, spec: ChannelSpec):
-    return quantize_llr(_generate_float(key, tx_bits, sigma, spec), spec.quant)
+def _generate_int8(key, tx_bits, sigma, factor, spec: ChannelSpec):
+    return quantize_llr(
+        _generate_float(key, tx_bits, sigma, spec), spec.quant, factor
+    )
 
 
 @partial(jax.jit, static_argnames=("spec", "shape"))
-def _generate_zero_int8(key, shape, sigma, spec: ChannelSpec):
+def _generate_zero_int8(key, shape, sigma, factor, spec: ChannelSpec):
     """All-zero-codeword fused path (the GPU channel's only mode:
     ``CChanel_AWGN_SIMD.cu:22`` hard-codes tx = -1)."""
     zeros = jnp.zeros(shape, jnp.int8)
     return quantize_llr(
-        _generate_float(key, zeros, sigma, spec), spec.quant
+        _generate_float(key, zeros, sigma, spec), spec.quant, factor
     )
 
 
@@ -120,6 +123,12 @@ class AwgnChannel:
         self.sigma = sigma_for_snr(
             snr_db, self.rate, self.spec.es_n0, self.spec.qpsk
         )
+        if self.spec.opt_llr:
+            from ..quant import optimal_llr_factor
+
+            self.factor = optimal_llr_factor(self.sigma, self.spec.quant)
+        else:
+            self.factor = float(self.spec.quant.factor)
         return self.sigma
 
     def generate_float(self, key, tx_bits) -> jax.Array:
@@ -130,12 +139,12 @@ class AwgnChannel:
     def generate_int8(self, key, tx_bits) -> jax.Array:
         """Quantized int8 LLRs for explicit coded bits [B, N]."""
         assert self.sigma is not None, "call configure(snr_db) first"
-        return _generate_int8(key, tx_bits, self.sigma, self.spec)
+        return _generate_int8(key, tx_bits, self.sigma, self.factor, self.spec)
 
     def generate_zero_int8(self, key, batch: int) -> jax.Array:
         """Quantized int8 LLRs for the all-zero codeword, fused RNG+quantize
         on device (the GPU channel C1 equivalent)."""
         assert self.sigma is not None, "call configure(snr_db) first"
         return _generate_zero_int8(
-            key, (batch, self.n), self.sigma, self.spec
+            key, (batch, self.n), self.sigma, self.factor, self.spec
         )

@@ -37,15 +37,36 @@ class QuantSpec:
         return (1 << (self.bits_llr - 1)) - 1
 
 
-def quantize_llr(x: jnp.ndarray, spec: QuantSpec = QuantSpec()) -> jnp.ndarray:
+def quantize_llr(
+    x: jnp.ndarray, spec: QuantSpec = QuantSpec(), factor=None
+) -> jnp.ndarray:
     """float LLRs -> int8, trunc-toward-zero + saturate (CFastFixConversion).
 
     C semantics: ``value = (int)(factor * x)`` truncates toward zero, then
     clamps to [-sat, sat].  XLA's float->int convert also rounds toward zero,
     so a plain cast after clamping reproduces it bit-exactly.
+
+    ``factor`` (may be a traced scalar) overrides ``spec.factor`` — used by
+    the adaptive-quantizer channel mode without recompilation per SNR.
     """
-    v = jnp.clip(x * float(spec.factor), -float(spec.sat), float(spec.sat))
+    f = float(spec.factor) if factor is None else factor
+    v = jnp.clip(x * f, -float(spec.sat), float(spec.sat))
     return v.astype(jnp.int8)
+
+
+def optimal_llr_factor(sigma: float, spec: QuantSpec = QuantSpec()) -> float:
+    """Adaptive quantizer scale (the reference's -ollr idea: its
+    COptimFixConversion maps the channel's dynamic range R = 1 + qbeta
+    onto the saturation point; the implementation is commented out at
+    ``code/ldpc_decoder_arm/main.cpp:402-410``, so the capability is
+    re-derived here): scale so that |y| <= 1 + k*sigma maps onto the full
+    quantizer range, with k the Gaussian quantile covering all but
+    2^(1-bits) of the noise mass."""
+    from statistics import NormalDist
+
+    tail = 2.0 ** (1 - spec.bits_llr)
+    k = NormalDist().inv_cdf(1.0 - tail / 2.0)
+    return spec.sat / (1.0 + k * sigma)
 
 
 def dequantize_llr(q: jnp.ndarray, spec: QuantSpec = QuantSpec()) -> jnp.ndarray:

@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-var equivalent (APP width; sat 2^(b-1)-1)")
     e.add_argument("--msg-bits", type=int, default=6,
                    help="-msg equivalent (message width)")
+    e.add_argument("--ollr", dest="opt_llr", action="store_true",
+                   help="sigma-adaptive LLR quantizer scale (-ollr)")
+    e.add_argument("--info-ber", dest="count_bits", action="store_const",
+                   const="info", default="all",
+                   help="count info-bit errors only (x86 analyzer default);"
+                        " default counts all coded bits (-wc_fer/GPU)")
 
     o = p.add_argument_group("io")
     o.add_argument("--seed", type=int, default=1234)

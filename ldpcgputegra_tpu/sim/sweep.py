@@ -56,6 +56,8 @@ class SweepConfig:
     qpsk: bool = False
     norm_channel: bool = False
     fading: str = "none"  # none | rayleigh (-Rayleigh_Fading)
+    opt_llr: bool = False  # -ollr: sigma-adaptive LLR quantizer scale
+    count_bits: str = "all"  # all (-wc_fer/GPU analyzer) | info (x86 analyzer)
 
     batch: int = 1024  # frames per decode call (-n)
     max_fe: int = 100  # FE limit (-fer)
@@ -132,7 +134,7 @@ def run_sweep(
     quant = QuantSpec(factor=cfg.quant_factor, bits_llr=cfg.bits_llr)
     chan_spec = ChannelSpec(
         qpsk=cfg.qpsk, es_n0=cfg.es_n0, normalize=cfg.norm_channel,
-        fading=cfg.fading, quant=quant,
+        fading=cfg.fading, opt_llr=cfg.opt_llr, quant=quant,
     )
     channel = AwgnChannel(code.N, code.K, chan_spec)
     encoder = make_encoder(code, cfg.encoder)
@@ -180,16 +182,22 @@ def run_sweep(
         # affects results and a resume re-dispatches deterministically.
         def dispatch(k: int):
             key = jax.random.fold_in(jax.random.fold_in(base_key, pi), k)
+            info_only = cfg.count_bits == "info"
             if is_fake:
                 llr = channel.generate_zero_int8(key, cfg.batch)
                 decoded, _ = decoder(llr)
-                return count_errors_async(decoded)
+                return count_errors_async(
+                    decoded, info_only=info_only, k=code.K
+                )
             rng = np.random.default_rng((cfg.seed, pi, k))
             info = generate_info_bits(rng, cfg.batch, code.K, cfg.random_bits)
             coded = encoder.encode(info)
             llr = channel.generate_int8(key, coded)
             decoded, _ = decoder(llr)
-            return count_errors_async(decoded, reference=jnp.asarray(coded))
+            return count_errors_async(
+                decoded, reference=jnp.asarray(coded),
+                info_only=info_only, k=code.K,
+            )
 
         depth = max(1, cfg.pipeline_depth)
         inflight: deque = deque()

@@ -177,3 +177,18 @@ def test_llr_histogram():
     assert h[-31] == pytest.approx(40.0)
     assert h[31] == pytest.approx(20.0)
     assert sum(h.values()) == pytest.approx(100.0)
+
+
+def test_optimal_llr_factor():
+    from ldpcgputegra_tpu.quant import QuantSpec, optimal_llr_factor
+
+    spec = QuantSpec()
+    f_low = optimal_llr_factor(0.5, spec)   # low noise -> larger scale
+    f_high = optimal_llr_factor(1.5, spec)  # high noise -> smaller scale
+    assert f_low > f_high > 0
+    # adaptive channel still saturates within range and decodes
+    chan = AwgnChannel(576, 288, ChannelSpec(opt_llr=True))
+    chan.configure(2.0)
+    q = np.asarray(chan.generate_zero_int8(jax.random.key(0), 16))
+    assert q.min() >= -31 and q.max() <= 31
+    assert (np.abs(q) > 20).mean() > 0.01  # uses the upper range
