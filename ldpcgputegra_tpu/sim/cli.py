@@ -68,8 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-frames", type=int, default=10_000_000)
     t.add_argument("--timer", dest="timer_s", type=float, default=None,
                    help="per-point wall-clock budget in seconds")
-    t.add_argument("--qef", dest="qef_fer", type=float, default=None,
-                   help="stop sweep when FER drops below this value")
+    t.add_argument("--qef", "--tfer", dest="qef_fer", type=float,
+                   default=None,
+                   help="stop sweep when FER drops below this value "
+                        "(-qef/-tfer equivalents)")
+    t.add_argument("--pipeline", dest="pipeline_depth", type=int, default=2,
+                   help="batches kept in flight (-thread streams analogue)")
 
     e = p.add_argument_group("encoder / quantization")
     e.add_argument("--encoder", default="fake",
