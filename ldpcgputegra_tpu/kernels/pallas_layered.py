@@ -31,7 +31,6 @@ Non-QC codes fall back to the XLA gather path in ``ops.layered``.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..codes.code import LdpcCode
-from ..golden.decoder import SAT_MSG, SAT_VAR
+
 from ..ops.layered import LayeredSpec
 from .pallas_layered import _f_consts, _roll, _row_mask, pallas_supported
 

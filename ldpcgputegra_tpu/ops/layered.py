@@ -26,7 +26,6 @@ reference's SAT_VAR=127 / SAT_MSG=31 (``constantes_sse.h:43-49``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
