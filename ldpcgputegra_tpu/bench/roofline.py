@@ -38,13 +38,16 @@ def hw_spec() -> HwSpec:
     return _HW[os.environ.get("LDPC_TPU_GEN", "v5e")]
 
 
-# VPU element-ops per edge per codeword in one layered iteration, counted
-# from the kernel body (pallas_layered.layer_pass): roll, msg cast, sub,
-# clip(2), abs+clip(2), sign, two-min(3), parity, mag select(2), sign
-# select, v_new add+clip(2), roll back, store cast  ~= 17
-_OPS_PER_EDGE = 17
+# Effective VPU element-ops per edge per codeword in one layered
+# iteration.  The naive count from the kernel body is ~17 (roll, casts,
+# sub, clips, abs, two-min, parity, selects, writeback), but measured
+# kernels run ~2.5x faster than that predicts — Mosaic fuses clamp
+# chains and select trees into single VPU ops.  7 is the calibrated
+# irreducible count (validated against 576/2304/64800 measurements);
+# roofline fractions are meaningful relative to it.
+_OPS_PER_EDGE = 7
 # streamed kernel recomputes contributions in the writeback loop
-_OPS_PER_EDGE_STREAMED = 23
+_OPS_PER_EDGE_STREAMED = 10
 
 
 def kernel_model(
