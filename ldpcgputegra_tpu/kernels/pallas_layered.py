@@ -278,8 +278,11 @@ def make_pallas_decoder(
                 pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
             ],
             compiler_params=pltpu.CompilerParams(
+                # 1.5x + flat headroom over the static estimate: early-term
+                # masking and scheduler temporaries exceed the 1.25 margin
                 vmem_limit_bytes=min(
-                    int(vmem_per_lane(code) * TB * 1.25), 120 << 20
+                    int(vmem_per_lane(code) * TB * 1.5) + (4 << 20),
+                    120 << 20,
                 ),
             ),
             interpret=interpret,

@@ -322,7 +322,8 @@ def make_streamed_decoder(
             input_output_aliases={1: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
-                    int(streamed_vmem_per_lane(code) * TB * 1.4), 120 << 20
+                    int(streamed_vmem_per_lane(code) * TB * 1.5) + (4 << 20),
+                    120 << 20,
                 ),
             ),
         )(llr4, msg_init)
