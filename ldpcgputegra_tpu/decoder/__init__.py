@@ -83,6 +83,10 @@ def make_decoder(
     interpret: bool = False,
 ):
     code = effective_code(code)
+    if spec.schedule == "flooding":
+        from ..ops.flooding import make_flooding_decoder
+
+        return make_flooding_decoder(code, spec)
     resolved = backend_for(code, spec, backend)
     if resolved == "pallas":
         from ..kernels import make_pallas_decoder

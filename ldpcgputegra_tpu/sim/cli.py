@@ -39,7 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="pre = x86 scalar oracle semantics, post = GPU kernels",
     )
     g.add_argument(
-        "--schedule", default="auto", choices=["auto", "reference", "colored"]
+        "--schedule", default="auto",
+        choices=["auto", "reference", "colored", "flooding"],
+        help="layered order, or flooding (all checks parallel; ~2x iters "
+             "for the same BER, fastest for unstructured codes)",
     )
     g.add_argument(
         "--backend", default="auto", choices=["auto", "pallas", "xla"],
