@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..channel.awgn import AwgnChannel, ChannelSpec
+from ..channel.awgn import (
+    AwgnChannel,
+    ChannelSpec,
+    _generate_int8 as _gen_int8,
+    _generate_zero_int8 as _gen_zero,
+)
 from ..channel.bitgen import generate_info_bits
 from ..channel.encoder import FakeEncoder, make_encoder
 from ..codes.registry import load_code
@@ -155,6 +160,30 @@ def run_sweep(
     metrics_f = open(cfg.metrics, "a") if cfg.metrics else None
     ckpt = _load_ckpt(cfg.checkpoint)
 
+    # The whole batch — channel generation, decode, error count — is ONE
+    # jitted function: fused on device (no intermediate materialization)
+    # and, crucially for remote backends, a single executable whose
+    # persistent-cache key doesn't depend on device-array layouts produced
+    # by other jitted calls.  sigma/factor are traced scalars, so one
+    # executable serves every SNR point.
+    info_only = cfg.count_bits == "info"
+
+    @jax.jit
+    def sim_step_fake(key, sigma_t, factor_t):
+        llr = _gen_zero(key, (cfg.batch, code.N), sigma_t, factor_t,
+                        chan_spec)
+        decoded, _ = decoder(llr)
+        return count_errors_async(decoded, info_only=info_only, k=code.K)
+
+    @jax.jit
+    def sim_step_coded(key, sigma_t, factor_t, coded):
+        llr = _gen_int8(key, coded, sigma_t, factor_t, chan_spec)
+        decoded, _ = decoder(llr)
+        return count_errors_async(
+            decoded, reference=coded.astype(jnp.uint8),
+            info_only=info_only, k=code.K,
+        )
+
     points: list[SnrPoint] = []
     for pi, snr in enumerate(_snr_grid(cfg)):
         key_snr = str(snr)
@@ -176,40 +205,48 @@ def run_sweep(
         # Pipelined dispatch (the reference's omp-sections overlap of
         # error counting with next-batch noise generation, main.cpp:271-281,
         # generalised): keep `pipeline_depth` batches in flight on device
-        # and only fetch the oldest batch's counters — one host round trip
-        # per batch, fully overlapped with compute.  Batch k's channel key
-        # is fold_in(fold_in(seed, point), k), so dispatch order never
-        # affects results and a resume re-dispatches deterministically.
+        # and only fetch the oldest batches' counters — one host round trip
+        # per fetch window, fully overlapped with compute.  Batch k's
+        # channel key is fold_in(fold_in(seed, point), k), so dispatch
+        # order never affects results and a resume re-dispatches
+        # deterministically.
         def dispatch(k: int):
             key = jax.random.fold_in(jax.random.fold_in(base_key, pi), k)
-            info_only = cfg.count_bits == "info"
             if is_fake:
-                llr = channel.generate_zero_int8(key, cfg.batch)
-                decoded, _ = decoder(llr)
-                return count_errors_async(
-                    decoded, info_only=info_only, k=code.K
-                )
+                return sim_step_fake(key, channel.sigma, channel.factor)
             rng = np.random.default_rng((cfg.seed, pi, k))
             info = generate_info_bits(rng, cfg.batch, code.K, cfg.random_bits)
             coded = encoder.encode(info)
-            llr = channel.generate_int8(key, coded)
-            decoded, _ = decoder(llr)
-            return count_errors_async(
-                decoded, reference=jnp.asarray(coded),
-                info_only=info_only, k=code.K,
-            )
+            return sim_step_coded(key, channel.sigma, channel.factor, coded)
 
+        debug_t = os.environ.get("LDPC_TPU_DEBUG_TIMING") == "1"
         depth = max(1, cfg.pipeline_depth)
         inflight: deque = deque()
         next_k = batch_idx
         stop = False
         while not stop or inflight:
+            t_disp = time.perf_counter()
             while not stop and len(inflight) < depth:
                 inflight.append(dispatch(next_k))
                 next_k += 1
-            be_d, fe_d = inflight.popleft()
-            analyzer.add_counts(cfg.batch, int(be_d), int(fe_d))
-            batch_idx += 1
+            t_fetch = time.perf_counter()
+            # fetch the oldest half of the window in ONE host transfer
+            # (each scalar fetch costs a full round trip on remote
+            # backends; stacking on device first amortizes it)
+            n_fetch = max(1, len(inflight) // 2) if not stop else len(inflight)
+            group = [inflight.popleft() for _ in range(n_fetch)]
+            stacked = np.asarray(
+                jnp.stack([jnp.stack([be, fe]) for be, fe in group])
+            )
+            for be_i, fe_i in stacked:
+                analyzer.add_counts(cfg.batch, int(be_i), int(fe_i))
+                batch_idx += 1
+            if debug_t:
+                print(
+                    f"(DBG) window: dispatch {1e3*(t_fetch-t_disp):.1f} ms, "
+                    f"fetch {1e3*(time.perf_counter()-t_fetch):.1f} ms "
+                    f"({len(stacked)} batches)"
+                )
             if progress:
                 term.temp_report()
             ckpt["partial"] = {
