@@ -17,8 +17,9 @@ walks every QC block-row for a whole lane-tile of codewords:
   block-rows are processed sequentially, and checks within one block-row
   touch pairwise-disjoint VNs, so vectorizing over Z x TB is bit-identical
   to the reference's sequential check loop (SURVEY §7 "hard parts" #1);
-* arithmetic: int16 compute on int8 storage, SAT_VAR=±127 / SAT_MSG=±31
-  (``constantes_sse.h:43-49``), variant math per
+* arithmetic: int32 compute (Mosaic sublane rotates need 32-bit data) on
+  int8 message storage; saturation defaults SAT_VAR=±127 / SAT_MSG=±31
+  (``constantes_sse.h:43-49``, configurable), variant math per
   ``CUDA_{MS,OMS,NMS,2NMS}_SIMD.cu`` — NMS/2NMS multiply-truncate is the
   integer-exact (x*3)>>2 / (x*7)>>3;
 * optional early termination: per-lane convergence mask freezes finished
@@ -96,7 +97,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
     layers = code.layers  # all QC (checked by pallas_supported)
 
     def layer_pass(v_ref, m_ref, moff: int, layer, active):
-        """One QC block-row; returns [Z, TB] int16 parity (0 = satisfied)."""
+        """One QC block-row; returns [Z, TB] int32 parity (0 = satisfied)."""
         cols = layer.qc.cols.tolist()
         shifts = layer.qc.shifts.tolist()
         deg = layer.deg

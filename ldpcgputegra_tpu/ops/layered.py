@@ -19,8 +19,9 @@ oracle ``CDecoder_OMS_fixed_x86.cpp:60-150``):
   (early termination, per-codeword frozen updates — the generalisation of
   EARLY_TERM's per-thread break at ``CUDA_2NMS_SIMD.cu:17``).
 
-All arithmetic is int16 on int8-stored state; saturation bounds are the
-reference's SAT_VAR=127 / SAT_MSG=31 (``constantes_sse.h:43-49``).
+All arithmetic is int16 on int8-stored state; saturation bounds default
+to the reference's SAT_VAR=127 / SAT_MSG=31 (``constantes_sse.h:43-49``)
+and are configurable per spec (the -var/-msg flags).
 """
 
 from __future__ import annotations
