@@ -192,3 +192,33 @@ def test_optimal_llr_factor():
     q = np.asarray(chan.generate_zero_int8(jax.random.key(0), 16))
     assert q.min() >= -31 and q.max() <= 31
     assert (np.abs(q) > 20).mean() > 0.01  # uses the upper range
+
+
+def test_qpsk_and_esn0_modes():
+    """QPSK halves per-dimension amplitude; Es/N0 mode shifts sigma by
+    10*log10(2R) (CChanel::configure semantics)."""
+    n, k = 4000, 2000
+    tx = np.zeros((64, n), np.int8)
+    q = AwgnChannel(n, k, ChannelSpec(qpsk=True))
+    q.configure(6.0)
+    y = np.asarray(q.generate_float(jax.random.key(2), tx))
+    assert y.mean() == pytest.approx(-1 / math.sqrt(2), abs=0.01)
+    # Es/N0 3.0 == Eb/N0 3.0 - 10log10(2*0.5) = 3.0 for rate 1/2
+    a = AwgnChannel(n, k, ChannelSpec(es_n0=True))
+    b = AwgnChannel(n, k, ChannelSpec())
+    assert a.configure(3.0) == pytest.approx(b.configure(3.0))
+    # rate 13/16: Es/N0 differs from Eb/N0
+    c = AwgnChannel(2048, 1664, ChannelSpec(es_n0=True))
+    d = AwgnChannel(2048, 1664, ChannelSpec())
+    assert c.configure(3.0) != pytest.approx(d.configure(3.0))
+
+
+def test_make_qc_code_roundtrip():
+    from ldpcgputegra_tpu.codes.registry import make_qc_code
+
+    base = np.array([[0, 1, -1, 2, 0, -1],
+                     [-1, 0, 3, -1, 1, 0]])
+    code = make_qc_code("toy", base, Z=8)
+    assert code.N == 48 and code.K == 32 and code.Z == 8
+    assert code.is_qc and len(code.layers) == 2
+    code.check_valid()

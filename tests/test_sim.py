@@ -102,3 +102,48 @@ def test_sweep_real_encoder():
     cfg = _tiny_cfg(encoder="gf2", max_frames=128, snr_max=1.0)
     res = run_sweep(cfg, progress=False)
     assert res.points[0].frames >= 128
+
+
+def test_mid_point_resume_exact(tmp_path):
+    """A sweep killed mid-point must resume deterministically: manually
+    plant a partial checkpoint equal to batch 0's counters and check the
+    final point equals an uninterrupted run."""
+    import jax
+    import json as _json
+
+    from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.decoder import make_decoder
+    from ldpcgputegra_tpu.ops.layered import LayeredSpec
+    from ldpcgputegra_tpu.sim.analyzer import count_errors
+
+    cfg = _tiny_cfg(snr_min=1.0, snr_max=1.0, batch=64, max_frames=256,
+                    max_fe=10**6)
+    # uninterrupted reference run
+    ref = run_sweep(cfg, progress=False).points[0]
+
+    # recompute batch 0's counters exactly as the sweep does
+    code = load_code(cfg.code)
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    chan.configure(1.0)
+    dec = make_decoder(
+        code,
+        LayeredSpec(algo=cfg.algo, iters=cfg.iters,
+                    early_term=cfg.early_term),
+    )
+    key = jax.random.fold_in(jax.random.fold_in(jax.random.key(cfg.seed), 0), 0)
+    llr = chan.generate_zero_int8(key, cfg.batch)
+    be0, fe0 = count_errors(dec(llr)[0])
+
+    ck = tmp_path / "ck.json"
+    ck.write_text(_json.dumps({
+        "done": {},
+        "partial": {"snr": "1.0", "frames": cfg.batch, "be": be0,
+                    "fe": fe0, "batches": 1},
+    }))
+    cfg2 = _tiny_cfg(snr_min=1.0, snr_max=1.0, batch=64, max_frames=256,
+                     max_fe=10**6, checkpoint=str(ck))
+    resumed = run_sweep(cfg2, progress=False).points[0]
+    assert (resumed.frames, resumed.be, resumed.fe) == (
+        ref.frames, ref.be, ref.fe
+    )
