@@ -62,7 +62,7 @@ def run_distributed_point(
         # device_put inside the sharded step slices it onto local devices
         key = jax.random.fold_in(base, k)
         llr = chan.generate_zero_int8(key, batch)
-        _, _, be, fe = step(np.asarray(llr))
+        _, _, be, fe = step(llr)
         analyzer.add_counts(batch, int(be), int(fe))
     if jax.process_index() == 0:
         return analyzer

@@ -127,3 +127,16 @@ def test_configurable_quantization_ranges():
     # and the range genuinely matters: default-range decode differs
     d2 = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=5))
     assert not np.array_equal(np.asarray(d2(llrs)[0]), bits) or True
+
+
+def test_node_major_decode_path():
+    """node_major=True skips the interleave transposes (the caller already
+    holds node-major data, like the reference's pre-transposed buffers)."""
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=4)
+    llrs = _random_llrs(code.N, 4, seed=8)
+    d_fm = make_layered_decoder(code, spec)
+    d_nm = make_layered_decoder(code, spec, node_major=True)
+    bits_fm = np.asarray(d_fm(llrs)[0])
+    bits_nm = np.asarray(d_nm(llrs.T)[0])
+    np.testing.assert_array_equal(bits_fm, bits_nm.T)
