@@ -66,6 +66,11 @@ class ChannelSpec:
     normalize: bool = False  # -norm-channel: scale output by 2/sigma^2
     fading: str = "none"  # none | rayleigh
     opt_llr: bool = False  # -ollr: adapt quantizer scale to sigma
+    no_channel: bool = False  # -no-channel: noiseless (perfect LLRs)
+    # fault injection (SURVEY §5.3): probability of flipping an LLR's sign
+    # after quantization — corruption beyond channel noise, for robustness
+    # studies; 0 disables
+    inject_flip_p: float = 0.0
     quant: QuantSpec = QuantSpec()
 
 
@@ -73,6 +78,8 @@ class ChannelSpec:
 def _generate_float(key, tx_bits, sigma, spec: ChannelSpec):
     amp = _INV_SQRT2 if spec.qpsk else 1.0
     symbols = jnp.where(tx_bits != 0, amp, -amp).astype(jnp.float32)
+    if spec.no_channel:
+        return symbols
     k_noise, k_fade = jax.random.split(key)
     noise = sigma * jax.random.normal(k_noise, symbols.shape, jnp.float32)
     if spec.fading == "rayleigh":
@@ -87,11 +94,20 @@ def _generate_float(key, tx_bits, sigma, spec: ChannelSpec):
     return y
 
 
+def _maybe_inject(key, q, spec: ChannelSpec):
+    if spec.inject_flip_p <= 0.0:
+        return q
+    flip = jax.random.bernoulli(key, spec.inject_flip_p, q.shape)
+    return jnp.where(flip, -q, q).astype(q.dtype)
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def _generate_int8(key, tx_bits, sigma, factor, spec: ChannelSpec):
-    return quantize_llr(
-        _generate_float(key, tx_bits, sigma, spec), spec.quant, factor
+    k_chan, k_inj = jax.random.split(jax.random.fold_in(key, 1))
+    q = quantize_llr(
+        _generate_float(k_chan, tx_bits, sigma, spec), spec.quant, factor
     )
+    return _maybe_inject(k_inj, q, spec)
 
 
 @partial(jax.jit, static_argnames=("spec", "shape"))
@@ -99,9 +115,11 @@ def _generate_zero_int8(key, shape, sigma, factor, spec: ChannelSpec):
     """All-zero-codeword fused path (the GPU channel's only mode:
     ``CChanel_AWGN_SIMD.cu:22`` hard-codes tx = -1)."""
     zeros = jnp.zeros(shape, jnp.int8)
-    return quantize_llr(
-        _generate_float(key, zeros, sigma, spec), spec.quant, factor
+    k_chan, k_inj = jax.random.split(jax.random.fold_in(key, 1))
+    q = quantize_llr(
+        _generate_float(k_chan, zeros, sigma, spec), spec.quant, factor
     )
+    return _maybe_inject(k_inj, q, spec)
 
 
 class AwgnChannel:

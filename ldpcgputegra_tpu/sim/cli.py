@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--rayleigh", dest="fading", action="store_const",
                    const="rayleigh", default="none",
                    help="flat Rayleigh fading (-Rayleigh_Fading equivalent)")
+    s.add_argument("--no-channel", dest="no_channel", action="store_true",
+                   help="noiseless channel (perfect LLRs; -no-channel)")
+    s.add_argument("--inject-flip", dest="inject_flip_p", type=float,
+                   default=0.0,
+                   help="LLR sign-flip fault-injection probability")
 
     t = p.add_argument_group("stopping / batching")
     t.add_argument("--batch", "-n", type=int, default=1024,

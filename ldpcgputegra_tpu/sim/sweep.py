@@ -62,6 +62,8 @@ class SweepConfig:
     norm_channel: bool = False
     fading: str = "none"  # none | rayleigh (-Rayleigh_Fading)
     opt_llr: bool = False  # -ollr: sigma-adaptive LLR quantizer scale
+    no_channel: bool = False  # -no-channel: noiseless perfect LLRs
+    inject_flip_p: float = 0.0  # LLR sign-flip fault-injection probability
     count_bits: str = "all"  # all (-wc_fer/GPU analyzer) | info (x86 analyzer)
 
     batch: int = 1024  # frames per decode call (-n)
@@ -139,7 +141,8 @@ def run_sweep(
     quant = QuantSpec(factor=cfg.quant_factor, bits_llr=cfg.bits_llr)
     chan_spec = ChannelSpec(
         qpsk=cfg.qpsk, es_n0=cfg.es_n0, normalize=cfg.norm_channel,
-        fading=cfg.fading, opt_llr=cfg.opt_llr, quant=quant,
+        fading=cfg.fading, opt_llr=cfg.opt_llr, no_channel=cfg.no_channel,
+        inject_flip_p=cfg.inject_flip_p, quant=quant,
     )
     channel = AwgnChannel(code.N, code.K, chan_spec)
     encoder = make_encoder(code, cfg.encoder)

@@ -222,3 +222,18 @@ def test_make_qc_code_roundtrip():
     assert code.N == 48 and code.K == 32 and code.Z == 8
     assert code.is_qc and len(code.layers) == 2
     code.check_valid()
+
+
+def test_no_channel_and_fault_injection():
+    n, k = 576, 288
+    chan = AwgnChannel(n, k, ChannelSpec(no_channel=True))
+    chan.configure(1.0)
+    q = np.asarray(chan.generate_zero_int8(jax.random.key(0), 4))
+    assert (q == -8).all()  # perfect -1 symbols x factor 8, no noise
+    inj = AwgnChannel(
+        n, k, ChannelSpec(no_channel=True, inject_flip_p=0.25)
+    )
+    inj.configure(1.0)
+    qi = np.asarray(inj.generate_zero_int8(jax.random.key(0), 64))
+    flipped = (qi == 8).mean()
+    assert 0.2 < flipped < 0.3  # ~25% of signs flipped
