@@ -55,12 +55,22 @@ class QCRow:
     Decoders neutralize those (check, edge) contributions: |v| pinned to
     saturation with negative sign (never the min, parity-neutral) and no
     APP/message writeback — exactly equivalent to the edge being absent.
+
+    ``commit_rows``, when set, marks this layer as one *sub-pass* of a
+    block-row whose checks are NOT mutually conflict-free (a repeated
+    block-column makes checks z and z + s_j1 - s_j2 touch the same VN).
+    The full block-row is computed, but only the listed checks commit
+    their APP/message updates; the block-row's other sub-passes follow in
+    schedule order, each seeing the previous commits — exactly equivalent
+    to sequential processing in group order.  Messages live in each
+    sub-pass's own slab (only its committed rows are ever meaningful).
     """
 
     cols: np.ndarray  # [deg] int32 block-column ids
     shifts: np.ndarray  # [deg] int32 cyclic shifts
     mask_edge: Optional[int] = None
     mask_rows: Optional[np.ndarray] = None
+    commit_rows: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)

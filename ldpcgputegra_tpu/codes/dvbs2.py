@@ -48,6 +48,38 @@ def is_staircase(code: LdpcCode) -> bool:
     return _rows_with_info(code) is not None
 
 
+def _conflict_groups(cols: np.ndarray, shifts: np.ndarray, z: int):
+    """Partition checks 0..z-1 so no group contains a conflicting pair.
+
+    Conflict distances: for every repeated block-column with shifts s1, s2,
+    checks z0 and z0 + (s1 - s2) share a VN.  Greedy assignment over the
+    circulant conflict graph; returns [np.ndarray] of sorted check ids
+    (a single full group when conflict-free).
+    """
+    dists = set()
+    by_col: dict[int, list[int]] = {}
+    for j, c in enumerate(cols.tolist()):
+        by_col.setdefault(c, []).append(j)
+    for js in by_col.values():
+        for a in range(len(js)):
+            for b in range(a + 1, len(js)):
+                d = int(shifts[js[a]] - shifts[js[b]]) % z
+                dists.add(d)
+                dists.add((-d) % z)
+    dists.discard(0)
+    if not dists:
+        return [np.arange(z, dtype=np.int64)]
+    groups: list[set[int]] = []
+    for zz in range(z):
+        for g in groups:
+            if all(((zz - other) % z) not in dists for other in g):
+                g.add(zz)
+                break
+        else:
+            groups.append({zz})
+    return [np.asarray(sorted(g), np.int64) for g in groups]
+
+
 def to_qc_form(code: LdpcCode, z: int = _Z) -> LdpcCode:
     """Build the Z=360 QC view of a staircase code.
 
@@ -109,6 +141,14 @@ def to_qc_form(code: LdpcCode, z: int = _Z) -> LdpcCode:
             mask_edge = [cs for cs in cols_shifts].index((prev_block, z - 1))
         cols = np.asarray([c0 for c0, _ in cols_shifts], np.int32)
         shifts = np.asarray([s0 for _, s0 in cols_shifts], np.int32)
+        # CONFLICT-FREEDOM: a repeated block-column within one block-row
+        # means checks z and z + (s_j1 - s_j2) touch the same VN, so
+        # vectorizing the whole block-row would break the sequential
+        # in-place layered semantics (min-sum then diverges at higher
+        # iteration counts).  Partition the Z checks into groups with no
+        # conflicting pair; each group becomes a masked sub-pass layer
+        # (QCRow.commit_rows).
+        groups = _conflict_groups(cols, shifts, z)
         # validate: every check d must match the circulant prediction
         zz = np.arange(z, dtype=np.int64)[:, None]
         idx = cols[None, :] * z + (shifts[None, :] + zz) % z
@@ -121,13 +161,24 @@ def to_qc_form(code: LdpcCode, z: int = _Z) -> LdpcCode:
                     f"{code.name}: block-row {m} check {d} breaks QC "
                     f"structure (not DVB-S2-family?)"
                 )
-        qc = QCRow(
-            cols=cols,
-            shifts=shifts,
-            mask_edge=mask_edge,
-            mask_rows=np.asarray([0], np.int64) if mask_edge is not None else None,
+        mask_rows = (
+            np.asarray([0], np.int64) if mask_edge is not None else None
         )
-        layers.append(Layer(idx=idx.astype(np.int32), edge_offset=edge_offset, qc=qc))
+        for grp in groups:
+            qc = QCRow(
+                cols=cols,
+                shifts=shifts,
+                mask_edge=mask_edge,
+                mask_rows=mask_rows,
+                commit_rows=None if len(groups) == 1 else grp,
+            )
+            layers.append(
+                Layer(
+                    idx=idx.astype(np.int32),
+                    edge_offset=edge_offset,
+                    qc=qc,
+                )
+            )
         classes.append(DegreeClass(deg, z))
         class_idx.append(idx.astype(np.int32))
         edge_offset += idx.size

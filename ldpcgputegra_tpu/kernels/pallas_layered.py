@@ -105,6 +105,9 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         mrow = None
         if me is not None:
             mrow = _row_mask(Z, layer.qc.mask_rows)  # deficient circulant
+        cmask = None
+        if layer.qc.commit_rows is not None:
+            cmask = _row_mask(Z, layer.qc.commit_rows)  # sub-pass commits
         sv, sm = spec.sat_var, spec.sat_msg
         rolled = []
         contribs = []
@@ -140,20 +143,59 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         for s in sgns[1:]:
             parity = parity ^ s
         f1, f2 = _f_consts(min1, min2, spec)
+        v_news = []
+        upd_masks = []
         for j in range(deg):
             mag = jnp.where(mags[j] == min1, f1, f2)
             m_new = jnp.where((parity ^ sgns[j]) == 1, mag, -mag)
             if spec.minclamp == "pre":
                 m_new = jnp.clip(m_new, -sm, sm)
             v_new = jnp.clip(contribs[j] + m_new, -sv, sv)
+            upd = None
             if active is not None:
                 v_new = jnp.where(active, v_new, rolled[j])
                 m_new = jnp.where(active, m_new, m_ref[moff + j].astype(_CT))
+                upd = active
             if me is not None and j == me:
                 v_new = jnp.where(mrow, rolled[j], v_new)
                 m_new = jnp.where(mrow, m_ref[moff + j].astype(_CT), m_new)
-            v_ref[cols[j]] = _roll(v_new, -shifts[j], Z)
+                upd = ~mrow if upd is None else (upd & ~mrow)
+            if cmask is not None:
+                v_new = jnp.where(cmask, v_new, rolled[j])
+                m_new = jnp.where(cmask, m_new, m_ref[moff + j].astype(_CT))
+                upd = cmask if upd is None else (upd & cmask)
+            v_news.append(v_new)
+            upd_masks.append(upd)
             m_ref[moff + j] = m_new.astype(_ST)
+        # Writeback: a repeated block-column needs a MERGED write — each
+        # edge's full-slab store would clobber the other's committed
+        # updates (both computed from the layer-start slab).  Updates of
+        # distinct edges in a conflict-free group touch disjoint VNs, so
+        # sequential where-merges are exact.
+        col_edges: dict[int, list[int]] = {}
+        for j in range(deg):
+            col_edges.setdefault(cols[j], []).append(j)
+        for col, js in col_edges.items():
+            if len(js) == 1:
+                j = js[0]
+                v_ref[col] = _roll(v_news[j], -shifts[j], Z)
+            else:
+                slab = v_ref[col]
+                for j in js:
+                    back = _roll(v_news[j], -shifts[j], Z)
+                    upd = upd_masks[j]
+                    if upd is None:
+                        slab = back
+                    else:
+                        upd_b = jnp.broadcast_to(
+                            upd.astype(jnp.int32), back.shape
+                        )  # rotate as int32 (Mosaic: no sub-32-bit rolls)
+                        slab = jnp.where(
+                            _roll(upd_b, -shifts[j], Z) != 0, back, slab
+                        )
+                v_ref[col] = slab
+        if cmask is not None:
+            parity = jnp.where(cmask, parity, 0)
         return parity
 
     def kernel(llr_ref, out_ref, v_ref, m_ref, unsat_ref):

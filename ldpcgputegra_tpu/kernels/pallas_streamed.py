@@ -123,6 +123,9 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
             mrow = None
             if me is not None:
                 mrow = _row_mask(Z, layer.qc.mask_rows)
+            cmask = None
+            if layer.qc.commit_rows is not None:
+                cmask = _row_mask(Z, layer.qc.commit_rows)  # sub-pass
 
             sv, sm = spec.sat_var, spec.sat_msg
 
@@ -159,6 +162,8 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     min1 = jnp.minimum(min1, a)
                     parity = parity ^ s
             f1, f2 = _f_consts(min1, min2, spec)
+            v_news = []
+            upd_masks = []
             for j in range(deg):
                 c = contrib(j)
                 a = a_of(c)
@@ -168,18 +173,64 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 if spec.minclamp == "pre":
                     m_new = jnp.clip(m_new, -sm, sm)
                 v_new = jnp.clip(c + m_new, -sv, sv)
-                if active is not None or (me is not None and j == me):
+                need_old = (
+                    active is not None
+                    or cmask is not None
+                    or (me is not None and j == me)
+                )
+                upd = None
+                if need_old:
                     old_v = _roll(app_ref[cols[j]].astype(_CT), shifts[j], Z)
-                if active is not None:
                     m_old = msgbuf_ref[slot, j].astype(_CT)
+                    if first_iter:
+                        m_old = m_old * 0
+                if active is not None:
                     v_new = jnp.where(active, v_new, old_v)
                     m_new = jnp.where(active, m_new, m_old)
+                    upd = active
                 if me is not None and j == me:
                     # nonexistent edge: restore APP, keep message at zero
                     v_new = jnp.where(mrow, old_v, v_new)
                     m_new = jnp.where(mrow, 0, m_new)
-                app_ref[cols[j]] = _roll(v_new, -shifts[j], Z).astype(_ST)
+                    upd = ~mrow if upd is None else (upd & ~mrow)
+                if cmask is not None:
+                    v_new = jnp.where(cmask, v_new, old_v)
+                    m_new = jnp.where(cmask, m_new, m_old)
+                    upd = cmask if upd is None else (upd & cmask)
+                v_news.append(v_new)
+                upd_masks.append(upd)
                 msgbuf_ref[slot, j] = m_new.astype(_ST)
+            # merged writeback for repeated block-columns (see
+            # pallas_layered.layer_pass): per-edge full-slab stores would
+            # clobber each other's committed updates
+            col_edges: dict[int, list[int]] = {}
+            for j in range(deg):
+                col_edges.setdefault(cols[j], []).append(j)
+            for col, js in col_edges.items():
+                if len(js) == 1:
+                    j = js[0]
+                    app_ref[col] = _roll(
+                        v_news[j], -shifts[j], Z
+                    ).astype(_ST)
+                else:
+                    slab = app_ref[col].astype(_CT)
+                    for j in js:
+                        back = _roll(v_news[j], -shifts[j], Z)
+                        upd = upd_masks[j]
+                        if upd is None:
+                            slab = back
+                        else:
+                            upd_b = jnp.broadcast_to(
+                                upd.astype(jnp.int32), back.shape
+                            )  # rotate as int32 (no sub-32-bit rolls)
+                            slab = jnp.where(
+                                _roll(upd_b, -shifts[j], Z) != 0,
+                                back,
+                                slab,
+                            )
+                    app_ref[col] = slab.astype(_ST)
+            if cmask is not None:
+                parity = jnp.where(cmask, parity, 0)
             return parity
 
         def run_iteration(first_iter: bool):

@@ -147,6 +147,11 @@ def _layer_step_qc(V3, msg, layer: Layer, spec: LayeredSpec, active=None):
         m_np = np.zeros((Z, 1), dtype=bool)
         m_np[layer.qc.mask_rows] = True
         mrow = jnp.asarray(m_np)
+    cmask = None
+    if layer.qc.commit_rows is not None:
+        c_np = np.zeros((Z, 1), dtype=bool)
+        c_np[layer.qc.commit_rows] = True
+        cmask = jnp.asarray(c_np)  # sub-pass: only these checks commit
     rolled = [_roll(V3[cols[j]], shifts[j]) for j in range(deg)]
     sv = spec.sat_var
     contribs = [
@@ -157,17 +162,55 @@ def _layer_step_qc(V3, msg, layer: Layer, spec: LayeredSpec, active=None):
         contribs[me] = jnp.where(mrow, jnp.asarray(-sv, _CT), contribs[me])
     new_msgs, parity = _cn_update(contribs, spec)
     out_msg = []
+    v_news = []
+    upd_masks = []  # [Z, B]-broadcastable "this position truly updates"
     for j in range(deg):
         v_new = jnp.clip(contribs[j] + new_msgs[j], -sv, sv).astype(_ST)
         m_new = new_msgs[j].astype(_ST)
+        upd = None  # None == all rows/lanes update
         if active is not None:
             v_new = jnp.where(active[None, :], v_new, rolled[j])
             m_new = jnp.where(active[None, :], m_new, msg[j])
+            upd = active[None, :]
         if me is not None and j == me:
             v_new = jnp.where(mrow, rolled[j], v_new)
             m_new = jnp.where(mrow, msg[j], m_new)
-        V3 = V3.at[cols[j]].set(_roll(v_new, (-shifts[j]) % Z))
+            upd = ~mrow if upd is None else (upd & ~mrow)
+        if cmask is not None:
+            v_new = jnp.where(cmask, v_new, rolled[j])
+            m_new = jnp.where(cmask, m_new, msg[j])
+            upd = cmask if upd is None else (upd & cmask)
+        v_news.append(v_new)
+        upd_masks.append(upd)
         out_msg.append(m_new)
+    # Writeback.  A repeated block-column needs a MERGED write: each edge's
+    # full-slab store would otherwise clobber the other edge's committed
+    # updates to the same column (both are computed from the sub-pass-start
+    # slab).  Updates of distinct edges within a conflict-free group touch
+    # disjoint VNs, so sequential where-merges are exact.
+    col_edges: dict[int, list[int]] = {}
+    for j in range(deg):
+        col_edges.setdefault(cols[j], []).append(j)
+    for col, js in col_edges.items():
+        if len(js) == 1:
+            j = js[0]
+            V3 = V3.at[col].set(_roll(v_news[j], (-shifts[j]) % Z))
+        else:
+            slab = V3[col]
+            for j in js:
+                back = _roll(v_news[j], (-shifts[j]) % Z)
+                upd = upd_masks[j]
+                if upd is None:
+                    slab = back
+                else:
+                    upd_b = jnp.broadcast_to(upd, (Z, slab.shape[1]))
+                    slab = jnp.where(
+                        _roll(upd_b, (-shifts[j]) % Z), back, slab
+                    )
+            V3 = V3.at[col].set(slab)
+    if cmask is not None:
+        # only committed checks' syndromes are meaningful this sub-pass
+        parity = jnp.where(cmask, parity, 0)
     return V3, jnp.stack(out_msg), parity
 
 
@@ -204,7 +247,11 @@ def _iteration(V, msgs, layers: Sequence[Layer], spec: LayeredSpec,
     new_msgs = []
     use_qc = qc_shape is not None
     if use_qc:
-        V = V.reshape(qc_shape)
+        # the barrier stops XLA from fusing this reshape into the layer
+        # update chain — that fusion MISCOMPILES (observed on CPU XLA:
+        # wrong APP values on codes with sub-pass layers; a single barrier
+        # here restores bit-exactness, see tests/test_dvbs2_qc.py)
+        V = jax.lax.optimization_barrier(V.reshape(qc_shape))
     for li, layer in enumerate(layers):
         if use_qc and layer.qc is not None:
             V, m, parity = _layer_step_qc(V, msgs[li], layer, spec, active)

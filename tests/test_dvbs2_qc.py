@@ -18,17 +18,24 @@ from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
 
 
 def _golden_view(qc: LdpcCode) -> LdpcCode:
-    """A ragged code whose reference order IS the QC schedule, with the
-    deficient edge truly absent (for oracle validation)."""
+    """A ragged code whose reference order IS the QC schedule — including
+    sub-pass commit order — with the deficient edge truly absent (for
+    oracle validation)."""
     classes = []
     class_idx = []
     for lay in qc.layers:
         idx = lay.idx
+        if lay.qc.commit_rows is not None:
+            idx = idx[lay.qc.commit_rows]
         me = lay.qc.mask_edge
-        if me is None:
+        has_row0 = (
+            lay.qc.commit_rows is None or 0 in lay.qc.commit_rows.tolist()
+        )
+        if me is None or not has_row0:
             classes.append(DegreeClass(idx.shape[1], idx.shape[0]))
             class_idx.append(idx)
         else:
+            # this entry commits check 0, whose deficient edge is absent
             first = np.delete(idx[0], me)[None, :]
             classes.append(DegreeClass(first.shape[1], 1))
             class_idx.append(first.astype(np.int32))
@@ -65,8 +72,9 @@ def test_effective_code_uses_qc_view():
     assert effective_code(c2) is c2
 
 
-def test_qc_decode_bit_exact_vs_permuted_golden():
-    code = load_code("16200x7560")
+@pytest.mark.parametrize("name", ["16200x7560", "16200x10800"])
+def test_qc_decode_bit_exact_vs_permuted_golden(name):
+    code = load_code(name)
     qc = to_qc_form(code)
     dec = make_layered_decoder(qc, LayeredSpec(algo="OMS", iters=3))
     rng = np.random.default_rng(4)
@@ -96,3 +104,31 @@ def test_qc_decode_corrects_errors():
     bits = np.asarray(dec(llr)[0])
     ch_err = (llr > 0).sum()
     assert bits.sum() < ch_err / 100
+
+
+def test_derived_16200x10800_code_end_to_end():
+    """The H derived from the reference's encoder table (which shipped with
+    no matrix) loads, QC-ifies, decodes its own encoder's frames, and
+    corrects channel errors."""
+    from ldpcgputegra_tpu.channel.encoder import make_encoder
+
+    code = load_code("16200x10800")
+    assert (code.N, code.K, code.n_checks) == (16200, 10800, 5400)
+    # its block-rows repeat block-columns (degree-13 VNs): the QC view
+    # must split those into masked sub-pass layers
+    eff = effective_code(code)
+    assert eff.Z == 360
+    assert sum(1 for l in eff.layers if l.qc.commit_rows is not None) > 0
+    enc = make_encoder(code, "table")
+    rng = np.random.default_rng(2)
+    info = rng.integers(0, 2, size=(4, code.K)).astype(np.int8)
+    coded = enc.encode(info)
+    llr = np.clip(
+        8.0 * ((2 * coded - 1) + 0.5 * rng.normal(size=coded.shape)),
+        -31, 31,
+    ).astype(np.int8)
+    dec = make_decoder(code, LayeredSpec(algo="OMS", iters=20))
+    bits = np.asarray(dec(llr)[0])
+    ch = (llr * (2 * coded - 1) < 0).sum()
+    assert ch > 100
+    assert (bits != coded).sum() == 0  # full correction, no divergence

@@ -75,3 +75,82 @@ def test_streamed_interpret_early_term():
         bf = np.asarray(d_f(llr)[0])
         be = np.asarray(d_e(llr)[0])
     np.testing.assert_array_equal(bf, be)
+
+
+def _dup_col_code():
+    """Two block-rows with repeated block-columns (sub-pass split), sharing
+    a column — the structure that diverged on DVB rate-2/3 codes."""
+    import numpy as np
+
+    from ldpcgputegra_tpu.codes.code import DegreeClass, Layer, LdpcCode, QCRow
+    from ldpcgputegra_tpu.codes.dvbs2 import _conflict_groups
+
+    Z = 8
+    rows = [
+        (np.array([0, 1, 1], np.int32), np.array([0, 1, 4], np.int32)),
+        (np.array([1, 2, 2], np.int32), np.array([2, 0, 3], np.int32)),
+    ]
+    zz = np.arange(Z, dtype=np.int64)[:, None]
+    layers, classes, class_idx = [], [], []
+    off = 0
+    for cols, shifts in rows:
+        idx = (cols[None, :] * Z + (shifts[None, :] + zz) % Z).astype(np.int32)
+        for g in _conflict_groups(cols, shifts, Z):
+            layers.append(Layer(idx=idx, edge_offset=off,
+                                qc=QCRow(cols=cols, shifts=shifts,
+                                         commit_rows=g)))
+        classes.append(DegreeClass(3, Z))
+        class_idx.append(idx)
+        off += idx.size
+    return LdpcCode(name="dup2", N=24, K=8, classes=tuple(classes),
+                    class_idx=tuple(class_idx), Z=Z, layers=tuple(layers))
+
+
+def _subpass_golden(code, llr, iters):
+    """Sequential golden of the sub-pass schedule."""
+    import numpy as np
+
+    from ldpcgputegra_tpu.codes.code import DegreeClass, LdpcCode
+    from ldpcgputegra_tpu.golden import GoldenParams, decode_oracle
+
+    gclasses, gidx = [], []
+    for lay in code.layers:
+        sub = lay.idx[lay.qc.commit_rows]
+        gclasses.append(DegreeClass(sub.shape[1], sub.shape[0]))
+        gidx.append(sub)
+    gv = LdpcCode(name="dup2-g", N=code.N, K=code.K,
+                  classes=tuple(gclasses), class_idx=tuple(gidx))
+    return decode_oracle(gv, llr, GoldenParams(algo="OMS", iters=iters))[0]
+
+
+def test_subpass_layers_pallas_vmem():
+    from ldpcgputegra_tpu.kernels import make_pallas_decoder
+
+    code = _dup_col_code()
+    llr = _llrs(code.N, 128, seed=13)
+    dec = make_pallas_decoder(
+        code, LayeredSpec(algo="OMS", iters=3), batch_tile=128, interpret=True
+    )
+    bits = np.asarray(dec(llr)[0])
+    np.testing.assert_array_equal(bits, _subpass_golden(code, llr, 3))
+
+
+def test_subpass_layers_pallas_streamed():
+    code = _dup_col_code()
+    llr = _llrs(code.N, 128, seed=14)
+    dec = make_streamed_decoder(
+        code, LayeredSpec(algo="OMS", iters=3), batch_tile=128
+    )
+    with pltpu.force_tpu_interpret_mode():
+        bits = np.asarray(dec(llr)[0])
+    np.testing.assert_array_equal(bits, _subpass_golden(code, llr, 3))
+
+
+def test_subpass_layers_xla():
+    from ldpcgputegra_tpu.ops.layered import make_layered_decoder
+
+    code = _dup_col_code()
+    llr = _llrs(code.N, 64, seed=15)
+    dec = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=3))
+    bits = np.asarray(dec(llr)[0])
+    np.testing.assert_array_equal(bits, _subpass_golden(code, llr, 3))
