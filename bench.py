@@ -24,7 +24,33 @@ import jax
 BASELINE_MBPS = 132.0  # GTX 680, 3 streams, 10 iters, (2304,1152)
 
 
+def _device_available(timeout_s: int = 180) -> bool:
+    """Probe the backend in a subprocess: a dead TPU relay makes
+    jax.devices() block forever, which must not hang the caller."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_available():
+        print(json.dumps({
+            "metric": "decode_throughput_2304x1152_oms_10it",
+            "value": 0.0,
+            "unit": "coded-Mbps/chip",
+            "vs_baseline": 0.0,
+            "error": "backend unavailable (TPU relay down); see "
+                     "benchmarks/RESULTS.md for the last measured numbers",
+        }))
+        return
     from ldpcgputegra_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
