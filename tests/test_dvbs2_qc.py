@@ -132,3 +132,27 @@ def test_derived_16200x10800_code_end_to_end():
     ch = (llr * (2 * coded - 1) < 0).sum()
     assert ch > 100
     assert (bits != coded).sum() == 0  # full correction, no divergence
+
+
+@pytest.mark.slow
+def test_qc_decode_bit_exact_64800():
+    """The flagship DVB-S2 64800x32400 QC view (with sub-pass splits) is
+    bit-exact vs the permuted-order golden oracle."""
+    code = load_code("64800x32400")
+    qc = to_qc_form(code)
+    assert sum(1 for l in qc.layers if l.qc.commit_rows is not None) > 0
+    dec = make_layered_decoder(qc, LayeredSpec(algo="OMS", iters=3))
+    rng = np.random.default_rng(6)
+    B = 2
+    llr = np.clip(
+        8.0 * rng.normal(-1.0, 0.7, size=(B, code.N)), -31, 31
+    ).astype(np.int8)
+    bits = np.asarray(dec(llr)[0])
+    gv = _golden_view(qc)
+    perm = qc.col_perm
+    inv = np.empty(code.N, np.int64)
+    inv[perm] = np.arange(code.N)
+    refs, _ = decode_oracle(
+        gv, llr[:, perm], GoldenParams(algo="OMS", iters=3)
+    )
+    np.testing.assert_array_equal(bits, refs[:, inv])
