@@ -46,3 +46,22 @@ def test_check_dataset(capsys):
     assert not check_dataset("diff", a, b)
     out = capsys.readouterr().out
     assert "OK" in out and "differ" in out
+
+
+def test_decode_stream_ordered_results():
+    from ldpcgputegra_tpu.decoder.stream import DecodeStream
+    from ldpcgputegra_tpu.golden import GoldenParams, decode_oracle
+
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=4)
+    stream = DecodeStream(code, spec, backend="xla", depth=2)
+    batches = [_llrs(code.N, 8, seed=s) for s in range(5)]
+    for b in batches:
+        stream.submit(b)
+    assert stream.pending == 5
+    outs = list(stream.drain())
+    assert len(outs) == 5 and stream.pending == 0
+    gp = GoldenParams(algo="OMS", iters=4)
+    for (bits, _), llr in zip(outs, batches):
+        refs, _ = decode_oracle(code, llr, gp)
+        np.testing.assert_array_equal(bits, refs)
