@@ -21,6 +21,8 @@ CURVES = [
     ("1944x972", "OMS", 10, 0.5, 2.75, 0.25),
     ("576x288", "OMS", 10, 0.5, 3.5, 0.5),
     ("2304x1152", "NMS", 10, 0.5, 2.5, 0.25),
+    ("576x288", "2NMS", 10, 1.0, 3.5, 0.5),
+    ("64800x32400", "OMS", 10, 0.5, 1.5, 0.25),
 ]
 
 
