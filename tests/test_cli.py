@@ -49,3 +49,16 @@ def test_defaults_match_reference_conventions():
 def test_tfer_alias():
     cfg = config_from_args(build_parser().parse_args(["--tfer", "1e-5"]))
     assert cfg.qef_fer == 1e-5
+
+
+def test_info_and_histo_smoke(capsys):
+    from ldpcgputegra_tpu.sim.cli import _print_histo, _print_info, config_from_args, build_parser
+
+    cfg = config_from_args(build_parser().parse_args(
+        ["--code", "576x288", "--batch", "16"]))
+    _print_info(cfg)
+    out = capsys.readouterr().out
+    assert "backend" in out and "N=576" in out
+    _print_histo(cfg)
+    out = capsys.readouterr().out
+    assert "(HISTO) START" in out and "(HISTO) STOP" in out
