@@ -198,10 +198,12 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             parity = jnp.where(cmask, parity, 0)
         return parity
 
-    def kernel(llr_ref, out_ref, v_ref, m_ref, unsat_ref):
+    def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref):
         # load LLRs into the VMEM-resident int32 APP state; zero the messages
         v_ref[...] = llr_ref[...].astype(_CT)
         m_ref[...] = jnp.zeros_like(m_ref)
+        iters_ref[0, 0] = jnp.asarray(0 if spec.early_term else spec.iters,
+                                      jnp.int32)
         if spec.early_term:
             unsat_ref[...] = jnp.ones_like(unsat_ref)
 
@@ -238,6 +240,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
                     lane_unsat = unsat.max(axis=0)  # [TB] (int32)
                     # freeze lanes whose syndrome is now clean
                     unsat_ref[0] = jnp.minimum(unsat_ref[0], lane_unsat)
+                    iters_ref[0, 0] = iters_ref[0, 0] + 1
             else:
                 run_layers()
             return 0
@@ -311,10 +314,17 @@ def make_pallas_decoder(
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (Nb, Z, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            out_specs=(
+                pl.BlockSpec(
+                    (Nb, Z, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
             ),
-            out_shape=jax.ShapeDtypeStruct((Nb, Z, B), _ST),
+            out_shape=(
+                jax.ShapeDtypeStruct((Nb, Z, B), _ST),
+                jax.ShapeDtypeStruct((B // TB, 1), jnp.int32),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((Nb, Z, TB), _CT),  # APP state (int32: rollable)
                 pltpu.VMEM((n_msg_slabs, Z, TB), _ST),  # c2v messages
@@ -352,12 +362,14 @@ def make_pallas_decoder(
             llr = llr[:, perm]  # QC-ified view: to QC column order
         # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
         llr3 = llr.T.reshape(Nb, Z, B)
-        out3 = _call(llr3)
+        out3, tile_iters = _call(llr3)
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
         if inv_perm is not None:
             bits = bits[:, inv_perm]
         if pad:
             bits = bits[:B0]
-        return bits, jnp.asarray(spec.iters, jnp.int32)
+        # actual iterations used = the slowest tile's count (ET kernels
+        # count executed iterations; fixed-iteration kernels report iters)
+        return bits, tile_iters.max().astype(jnp.int32)
 
     return decode

@@ -78,3 +78,20 @@ def test_pick_batch_tile_fits_vmem():
     # a tight budget must shrink the tile below the 256 cap
     big = load_code("2304x1152")
     assert pick_batch_tile(big, vmem_budget=5 << 20) == 128
+
+
+def test_pallas_et_reports_iterations_used():
+    """ET kernel counts executed iterations; noiseless input converges at 1."""
+    code = load_code("576x288")
+    dec = make_pallas_decoder(
+        code,
+        LayeredSpec(algo="OMS", iters=10, early_term=True),
+        batch_tile=128,
+        interpret=True,
+    )
+    strong = np.full((128, code.N), -31, np.int8)
+    _, iters = dec(strong)
+    assert int(iters) == 1
+    noisy = _llrs(code.N, 128, seed=3)
+    _, iters2 = dec(noisy)
+    assert 1 <= int(iters2) <= 10
