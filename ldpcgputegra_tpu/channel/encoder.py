@@ -96,6 +96,12 @@ class QCAccumulateEncoder(Encoder):
         b = info_bits.shape[0]
         assert info_bits.shape == (b, self.k)
         u = info_bits.astype(np.int8)
+        from ..golden.native import encode_accumulate_native, native_available
+
+        if native_available():
+            return encode_accumulate_native(
+                self._scatter_pos, self._scatter_bit, u, self.n, self.k
+            )
         nmk = self.n - self.k
         # accumulate: par[pos] ^= u[bit] for each scatter pair
         contrib = u[:, self._scatter_bit].astype(np.int64)
@@ -165,6 +171,13 @@ class StaircaseEncoder(Encoder):
 
     def encode(self, info_bits: np.ndarray) -> np.ndarray:
         b = info_bits.shape[0]
+        from ..golden.native import encode_accumulate_native, native_available
+
+        if native_available():
+            return encode_accumulate_native(
+                self._row_of_edge, self._row_idx,
+                info_bits.astype(np.int8), self.n, self.k,
+            )
         u = info_bits.astype(np.int64)
         m = self.n - self.k
         s = np.zeros((b, m), dtype=np.int64)

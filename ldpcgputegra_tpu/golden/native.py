@@ -18,7 +18,12 @@ import numpy as np
 from ..codes.code import LdpcCode
 from .decoder import GoldenParams
 
-__all__ = ["native_available", "decode_golden_native", "syndrome_ok_native"]
+__all__ = [
+    "native_available",
+    "decode_golden_native",
+    "syndrome_ok_native",
+    "encode_accumulate_native",
+]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "liboracle.so")
@@ -63,6 +68,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, i8p,
     ]
     lib.ldpc_syndrome_ok.restype = ctypes.c_int
+    lib.ldpc_encode_accumulate.argtypes = [
+        i32p, i32p, ctypes.c_int64, i8p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i8p, ctypes.c_int,
+    ]
+    lib.ldpc_encode_accumulate.restype = None
     _lib = lib
     return _lib
 
@@ -114,6 +124,27 @@ def decode_golden_native(
         _p32(used),
     )
     return out, used
+
+
+def encode_accumulate_native(
+    scatter_pos: np.ndarray,
+    scatter_bit: np.ndarray,
+    info: np.ndarray,
+    n: int,
+    k: int,
+) -> np.ndarray:
+    """Batched accumulate+staircase encode: info [B, K] -> codewords [B, N]."""
+    lib = _load()
+    assert lib is not None, "native oracle unavailable"
+    pos = np.ascontiguousarray(scatter_pos, np.int32)
+    bit = np.ascontiguousarray(scatter_bit, np.int32)
+    info = np.ascontiguousarray(info, np.int8)
+    b = info.shape[0]
+    out = np.empty((b, n), np.int8)
+    lib.ldpc_encode_accumulate(
+        _p32(pos), _p32(bit), pos.size, _p8(info), b, k, n - k, _p8(out), n
+    )
+    return out
 
 
 def syndrome_ok_native(code: LdpcCode, bits: np.ndarray) -> np.ndarray:

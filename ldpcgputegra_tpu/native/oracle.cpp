@@ -123,6 +123,33 @@ void ldpc_decode_golden(const int32_t* class_degs, const int32_t* class_counts,
   }
 }
 
+// Accumulate encoder core (GenericEncoder/staircase semantics,
+// GenericEncoder.cpp:38-78): parity accumulation par[pos] ^= info[bit]
+// over a flat scatter list, then the running-XOR staircase chain.
+// Serves both the DVB table encoder and the H-derived staircase encoder
+// (their precomputed scatter pairs have identical structure).
+void ldpc_encode_accumulate(const int32_t* scatter_pos,
+                            const int32_t* scatter_bit, int64_t n_scatter,
+                            const int8_t* info, int frames, int k, int nmk,
+                            int8_t* out, int n) {
+  std::vector<int8_t> par(nmk);
+  for (int f = 0; f < frames; ++f) {
+    const int8_t* u = info + (size_t)f * k;
+    int8_t* o = out + (size_t)f * n;
+    std::fill(par.begin(), par.end(), 0);
+    for (int64_t s = 0; s < n_scatter; ++s) {
+      par[scatter_pos[s]] ^= u[scatter_bit[s]] & 1;
+    }
+    int8_t acc = 0;
+    for (int i = 0; i < nmk; ++i) {
+      acc ^= par[i];
+      par[i] = acc;
+    }
+    for (int i = 0; i < k; ++i) o[i] = u[i] & 1;
+    for (int i = 0; i < nmk; ++i) o[k + i] = par[i];
+  }
+}
+
 // Syndrome check: returns number of frames whose hard bits satisfy H.
 int ldpc_syndrome_ok(const int32_t* class_degs, const int32_t* class_counts,
                      int n_classes, const int32_t* edges, const int8_t* bits,

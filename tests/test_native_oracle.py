@@ -68,3 +68,33 @@ def test_native_syndrome():
         assert ok[b] == syndrome_ok(code, bits[b])
     zero = np.zeros((1, code.N), np.int8)
     assert syndrome_ok_native(code, zero)[0]
+
+
+def test_native_encode_matches_numpy():
+    """Native accumulate encode must equal the NumPy path bit for bit."""
+    import os
+
+    from ldpcgputegra_tpu.channel.encoder import (
+        QCAccumulateEncoder,
+        StaircaseEncoder,
+    )
+    from ldpcgputegra_tpu.channel.bitgen import generate_info_bits
+
+    os.environ["LDPC_TPU_NO_NATIVE"] = "0"
+    code = load_code("16200x7560")
+    enc = StaircaseEncoder(code)
+    rng = np.random.default_rng(3)
+    info = generate_info_bits(rng, 3, code.K)
+    native = enc.encode(info)
+    # force the numpy fallback by monkeypatching availability
+    import ldpcgputegra_tpu.golden.native as gn
+
+    orig = gn.native_available
+    gn.native_available = lambda: False
+    try:
+        ref = enc.encode(info)
+    finally:
+        gn.native_available = orig
+    np.testing.assert_array_equal(native, ref)
+    for b in range(3):
+        assert syndrome_ok(code, native[b])
