@@ -71,6 +71,11 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="benchmarks/RESULTS.md")
     args = ap.parse_args()
+    from ..utils import device_available
+
+    if not device_available():
+        print("(EE) backend unavailable (TPU relay down); aborting")
+        return
     enable_compile_cache()
 
     rows = []

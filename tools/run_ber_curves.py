@@ -27,6 +27,11 @@ CURVES = [
 
 
 def main() -> None:
+    from ldpcgputegra_tpu.utils import device_available
+
+    if not device_available():
+        print("(EE) backend unavailable (TPU relay down); aborting")
+        return
     enable_compile_cache()
     out = os.path.join(
         os.path.dirname(__file__), "..", "benchmarks", "BER.md"
