@@ -89,9 +89,13 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
     last_slot0_layer = q - 1 if (q - 1) % 2 == 0 else q - 2
     carry_out_layer = q - 1 if q % 2 == 0 else q - 2  # slot-1 carryover
 
-    def kernel(llr_ref, msg_io_ref, out_ref, msg_out_alias, app_ref,
-               msgbuf_ref, unsat_ref, in_sems, out_sems, app_sem):
+    def kernel(llr_ref, msg_io_ref, out_ref, msg_out_alias, iters_ref,
+               app_ref, msgbuf_ref, unsat_ref, tile_iters_ref,
+               in_sems, out_sems, app_sem):
         del msg_out_alias  # aliased storage of msg_io_ref
+        iters_ref[0, 0] = jnp.asarray(
+            0 if spec.early_term else spec.iters, jnp.int32
+        )
 
         def msg_in(li: int, slot: int):
             deg = layers[li].deg
@@ -282,6 +286,8 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
             cp.wait()
             if spec.early_term:
                 unsat_ref[...] = jnp.ones_like(unsat_ref)
+                tile_iters_ref[0, 0] = jnp.asarray(1, jnp.int32)
+                iters_ref[0, 0] = jnp.maximum(iters_ref[0, 0], 1)
             run_iteration(first_iter=True)
 
             def steady(it, carry):
@@ -293,6 +299,10 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     @pl.when(jnp.any(unsat_ref[0] != 0))
                     def _():
                         run_iteration(first_iter=False)
+                        iters_ref[0, 0] = jnp.maximum(
+                            iters_ref[0, 0], tile_iters_ref[0, 0] + 1
+                        )
+                        tile_iters_ref[0, 0] = tile_iters_ref[0, 0] + 1
                 else:
                     run_iteration(first_iter=False)
                 return carry
@@ -347,7 +357,7 @@ def make_streamed_decoder(
         kernel, n_slabs = kernels[TB]
         T = llr4.shape[0]
         msg_init = jnp.zeros((n_slabs, Z, TB), _ST)
-        out, _ = pl.pallas_call(
+        out, _, iters_used = pl.pallas_call(
             kernel,
             grid=(1,),
             in_specs=[
@@ -357,15 +367,18 @@ def make_streamed_decoder(
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.ANY),  # bits out (HBM)
                 pl.BlockSpec(memory_space=pltpu.ANY),  # aliased msg buffer
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # iters used
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((T, Nb, Z, TB), _ST),
                 jax.ShapeDtypeStruct((n_slabs, Z, TB), _ST),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((Nb, Z, TB), _ST),  # APP
                 pltpu.VMEM((2, maxdeg, Z, TB), _ST),  # msg slots
                 pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
+                pltpu.SMEM((1, 1), jnp.int32),  # per-tile iter counter
                 pltpu.SemaphoreType.DMA((2,)),  # in sems
                 pltpu.SemaphoreType.DMA((2,)),  # out sems
                 pltpu.SemaphoreType.DMA(()),  # app/bits sem
@@ -378,7 +391,7 @@ def make_streamed_decoder(
                 ),
             ),
         )(llr4, msg_init)
-        return out
+        return out, iters_used
 
     perm = inv_perm = None
     if code.col_perm is not None:
@@ -403,7 +416,7 @@ def make_streamed_decoder(
             llr = llr[:, perm]
         # [B, N] -> tile-major [T, Nb, Z, TB]
         llr4 = llr.T.reshape(Nb, Z, T, TB).transpose(2, 0, 1, 3)
-        out4 = _call(llr4, TB)
+        out4, iters_used = _call(llr4, TB)
         bits = (
             out4.transpose(1, 2, 0, 3).reshape(code.N, B).T.astype(jnp.uint8)
         )
@@ -411,6 +424,6 @@ def make_streamed_decoder(
             bits = bits[:, inv_perm]
         if pad:
             bits = bits[:B0]
-        return bits, jnp.asarray(spec.iters, jnp.int32)
+        return bits, iters_used[0, 0]
 
     return decode

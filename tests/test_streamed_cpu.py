@@ -154,3 +154,15 @@ def test_subpass_layers_xla():
     dec = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=3))
     bits = np.asarray(dec(llr)[0])
     np.testing.assert_array_equal(bits, _subpass_golden(code, llr, 3))
+
+
+def test_streamed_et_reports_iterations():
+    code = _toy()
+    dec = make_streamed_decoder(
+        code, LayeredSpec(algo="OMS", iters=6, early_term=True),
+        batch_tile=128,
+    )
+    strong = np.full((128, code.N), -31, np.int8)
+    with pltpu.force_tpu_interpret_mode():
+        _, iters = dec(strong)
+    assert int(iters) == 1
