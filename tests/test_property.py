@@ -68,3 +68,80 @@ def test_random_qc_code_agrees(seed, z, sat_msg):
         code, llr, GoldenParams(algo="OMS", iters=4, sat_msg=sat_msg)
     )
     np.testing.assert_array_equal(bits, refs)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    z=st.sampled_from([8, 12, 16]),
+    n_rows=st.integers(1, 3),
+)
+def test_random_subpass_codes_agree(seed, z, n_rows):
+    """Random QC codes WITH repeated block-columns: the sub-pass layer
+    machinery (conflict grouping + masked commits + merged writebacks)
+    must match a sequential golden of the same schedule."""
+    from ldpcgputegra_tpu.codes.code import DegreeClass, Layer, LdpcCode, QCRow
+    from ldpcgputegra_tpu.codes.dvbs2 import _conflict_groups
+
+    rng = np.random.default_rng(seed)
+    n_cols = 4
+    zz = np.arange(z, dtype=np.int64)[:, None]
+    layers, classes, class_idx = [], [], []
+    off = 0
+    for _ in range(n_rows):
+        deg = int(rng.integers(3, 6))
+        cols = rng.integers(0, n_cols, size=deg).astype(np.int32)
+        shifts = rng.integers(0, z, size=deg).astype(np.int32)
+        # forbid identical (col, shift) pairs (same VN twice in a check)
+        while len({(int(c), int(s)) for c, s in zip(cols, shifts)}) < deg:
+            shifts = rng.integers(0, z, size=deg).astype(np.int32)
+        idx = (cols[None, :] * z + (shifts[None, :] + zz) % z).astype(
+            np.int32
+        )
+        groups = _conflict_groups(cols, shifts, z)
+        for g in groups:
+            layers.append(
+                Layer(
+                    idx=idx,
+                    edge_offset=off,
+                    qc=QCRow(
+                        cols=cols,
+                        shifts=shifts,
+                        commit_rows=None if len(groups) == 1 else g,
+                    ),
+                )
+            )
+        classes.append(DegreeClass(deg, z))
+        class_idx.append(idx)
+        off += idx.size
+    code = LdpcCode(
+        name=f"fz{seed}",
+        N=n_cols * z,
+        K=n_cols * z - n_rows * z,
+        classes=tuple(classes),
+        class_idx=tuple(class_idx),
+        Z=z,
+        layers=tuple(layers),
+    )
+    # sequential golden of the sub-pass schedule
+    gcls, gidx = [], []
+    for lay in code.layers:
+        sub = (
+            lay.idx
+            if lay.qc.commit_rows is None
+            else lay.idx[lay.qc.commit_rows]
+        )
+        gcls.append(DegreeClass(sub.shape[1], sub.shape[0]))
+        gidx.append(sub)
+    gv = LdpcCode(
+        name="g", N=code.N, K=code.K, classes=tuple(gcls),
+        class_idx=tuple(gidx),
+    )
+    llr = np.clip(
+        8.0 * rng.normal(-0.3, 1.2, size=(4, code.N)), -31, 31
+    ).astype(np.int8)
+    iters = int(rng.integers(1, 5))
+    spec = LayeredSpec(algo="OMS", iters=iters)
+    bits = np.asarray(make_layered_decoder(code, spec)(llr)[0])
+    refs, _ = decode_oracle(gv, llr, GoldenParams(algo="OMS", iters=iters))
+    np.testing.assert_array_equal(bits, refs)
