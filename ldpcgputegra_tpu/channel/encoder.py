@@ -191,13 +191,17 @@ class StaircaseEncoder(Encoder):
 
 
 class GF2Encoder(Encoder):
-    """Generic encoder by one-time GF(2) elimination of the parity block.
+    """Generic encoder by one-time GF(2) Gauss-Jordan with column pivoting.
 
-    Solves ``Hp p = Hi u`` where Hp is the parity-column square block.  The
-    dense solve matrix ``S = Hp^{-1} Hi`` [M, K] is computed once with
-    packed-bit Gaussian elimination and cached; encoding is then
-    ``p = (u @ S^T) mod 2``.  Intended for small/medium codes (M up to a
-    few thousand); staircase codes should use `StaircaseEncoder`.
+    Reduces H so that a chosen set of M pivot columns forms the identity;
+    the remaining K columns carry the info bits and the pivots solve as
+    ``c_pivot = S @ c_info``.  Pivots prefer high column indices, so for
+    codes whose last-M block is invertible the mapping is the classic
+    systematic [info | parity] split; otherwise info bits land at the
+    computed ``info_cols`` (still a valid systematic encoding — decoded
+    codewords are compared bit-for-bit over all N either way).  Intended
+    for small/medium codes (M up to a few thousand); staircase codes
+    should use `StaircaseEncoder`.
     """
 
     def __init__(self, code: LdpcCode, max_m: int = 4096):
@@ -212,34 +216,43 @@ class GF2Encoder(Encoder):
             for c in range(ci.shape[0]):
                 H[c0 + c, ci[c]] = True
             c0 += ci.shape[0]
-        A = H[:, K:].copy()  # [M, M] parity block
-        B = H[:, :K].copy()  # [M, K] info block
-        # Gauss-Jordan on [A | B] -> [I | S]
-        for col in range(M):
-            piv = np.nonzero(A[col:, col])[0]
-            if piv.size == 0:
-                raise ValueError(
-                    f"{code.name}: parity block singular at column {col}"
-                )
-            p = col + piv[0]
-            if p != col:
-                A[[col, p]] = A[[p, col]]
-                B[[col, p]] = B[[p, col]]
-            rows = A[:, col].copy()
-            rows[col] = False
-            A[rows] ^= A[col]
-            B[rows] ^= B[col]
+        pivot_of_row: list[int] = []
+        pivot_rows: list[int] = []
+        is_pivot = np.zeros(N, dtype=bool)
+        for r in range(M):
+            cand = np.nonzero(H[r] & ~is_pivot)[0]
+            if cand.size == 0:
+                # linearly dependent check (rank-deficient H — e.g. the
+                # 10GBASE-T-like 2048x384 matrix): automatically satisfied,
+                # nothing to solve for
+                assert not H[r].any(), "inconsistent elimination state"
+                continue
+            p = int(cand[-1])  # prefer high indices (systematic when possible)
+            is_pivot[p] = True
+            pivot_of_row.append(p)
+            pivot_rows.append(r)
+            rows = H[:, p].copy()
+            rows[r] = False
+            H[rows] ^= H[r]
         self.n, self.k = N, K
-        self._S = B  # [M, K] bool: p = S @ u
+        free_cols = np.nonzero(~is_pivot)[0]
+        # rank deficiency leaves more than K free columns; carry info bits
+        # in the first K and pin the surplus to zero (still systematic)
+        self.info_cols = free_cols[:K]
+        self.zero_cols = free_cols[K:]
+        self.pivot_cols = np.asarray(pivot_of_row)
+        # c_pivot = S @ c_info (surplus free columns contribute nothing
+        # since they are pinned to zero)
+        self._S = H[np.asarray(pivot_rows)][:, self.info_cols]
 
     def encode(self, info_bits: np.ndarray) -> np.ndarray:
         b = info_bits.shape[0]
         u = info_bits.astype(np.uint8)
-        par = (u @ self._S.T.astype(np.uint8)) & 1
-        out = np.empty((b, self.n), dtype=np.int8)
-        out[:, : self.k] = u.astype(np.int8)
-        out[:, self.k :] = par.astype(np.int8)
-        return out
+        piv = (u @ self._S.T.astype(np.uint8)) & 1
+        out = np.zeros((b, self.n), dtype=np.int8)
+        out[:, self.info_cols] = u.astype(np.int8)
+        out[:, self.pivot_cols] = piv.astype(np.int8)
+        return out  # zero_cols stay 0
 
 
 def make_encoder(code: LdpcCode, kind: str = "auto") -> Encoder:

@@ -237,3 +237,14 @@ def test_no_channel_and_fault_injection():
     qi = np.asarray(inj.generate_zero_int8(jax.random.key(0), 64))
     flipped = (qi == 8).mean()
     assert 0.2 < flipped < 0.3  # ~25% of signs flipped
+
+
+def test_gf2_encoder_high_rate_code():
+    """10GBASE-T-like 2048x384 (rate 13/16): dense GF(2) encoder works."""
+    code = load_code("2048x384")
+    assert code.K == 2048 - 384
+    enc = GF2Encoder(code)
+    info = generate_info_bits(np.random.default_rng(7), 2, code.K)
+    coded = enc.encode(info)
+    for b in range(2):
+        assert syndrome_ok(code, coded[b])
