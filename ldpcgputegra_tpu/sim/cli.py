@@ -123,8 +123,9 @@ def config_from_args(args: argparse.Namespace) -> SweepConfig:
 
 
 def main(argv=None) -> None:
-    from ..utils import enable_compile_cache
+    from ..utils import apply_platform_env, enable_compile_cache
 
+    apply_platform_env()
     enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)

@@ -70,6 +70,9 @@ def run_distributed_point(
 
 
 def main(argv=None) -> None:
+    from ..utils import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=None)

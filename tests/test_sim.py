@@ -147,3 +147,45 @@ def test_mid_point_resume_exact(tmp_path):
     assert (resumed.frames, resumed.be, resumed.fe) == (
         ref.frames, ref.be, ref.fe
     )
+
+
+@pytest.mark.slow
+def test_cli_kill_and_resume(tmp_path):
+    """SIGKILL a running sweep process mid-point; rerunning with the same
+    checkpoint must converge to the same counters as an uninterrupted run."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    ck = str(tmp_path / "ck.json")
+    args = [
+        sys.executable, "-m", "ldpcgputegra_tpu.sim.cli",
+        "--code", "576x288", "--min", "1.0", "--max", "1.0",
+        "--batch", "64", "--max-frames", "512", "--fer", "1000000",
+        "--iters", "4", "--quiet", "--checkpoint", ck,
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", LDPC_TPU_NO_NATIVE="0")
+    # uninterrupted reference (separate checkpoint)
+    ck_ref = str(tmp_path / "ref.json")
+    ref_args = list(args)
+    ref_args[ref_args.index(ck)] = ck_ref
+    subprocess.run(ref_args, env=env, check=True, capture_output=True,
+                   timeout=240)
+    ref = json.load(open(ck_ref))["done"]["1.0"]
+
+    # start, kill mid-run, resume
+    p = subprocess.Popen(args, env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    deadline = _time.time() + 120
+    while _time.time() < deadline and not os.path.exists(ck):
+        _time.sleep(0.2)
+    _time.sleep(0.5)  # let a couple of batches checkpoint
+    p.send_signal(signal.SIGKILL)
+    p.wait(timeout=30)
+    subprocess.run(args, env=env, check=True, capture_output=True,
+                   timeout=240)
+    got = json.load(open(ck))["done"]["1.0"]
+    assert (got["frames"], got["be"], got["fe"]) == (
+        ref["frames"], ref["be"], ref["fe"]
+    )
