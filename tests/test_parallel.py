@@ -55,3 +55,31 @@ def test_graft_entry_dryrun():
     bits, iters = fn(*args)
     assert np.asarray(bits).shape == args[0].shape
     ge.dryrun_multichip(8)
+
+
+def test_sharded_ber_sweep_waterfall():
+    """BASELINE config 5: a BER-vs-Eb/N0 sweep with the batch sharded over
+    the (virtual) mesh and psum'd counters — the pod-slice sweep shape."""
+    import jax
+
+    from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec
+    from ldpcgputegra_tpu.sim.analyzer import ErrorAnalyzer
+
+    code = load_code("576x288")
+    mesh = decode_mesh()
+    step = make_sharded_decoder(
+        code, LayeredSpec(algo="OMS", iters=8, early_term=True), mesh
+    )
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    bers = []
+    for snr in (1.0, 2.5):
+        chan.configure(snr)
+        a = ErrorAnalyzer(n=code.N, k=code.K)
+        for k in range(3):
+            llr = chan.generate_zero_int8(
+                jax.random.fold_in(jax.random.key(9), k), 64
+            )
+            _, _, be, fe = step(llr)
+            a.add_counts(64, int(be), int(fe))
+        bers.append(a.ber)
+    assert bers[1] < bers[0]  # waterfall across the mesh
