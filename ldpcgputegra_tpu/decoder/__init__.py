@@ -82,11 +82,15 @@ def make_decoder(
     batch_tile: Optional[int] = None,
     interpret: bool = False,
 ):
-    code = effective_code(code)
     if spec.schedule == "flooding":
+        # Flooding works on ANY code via gather/segment-sum and gains nothing
+        # from the QC view, so dispatch on the ORIGINAL code: the QC view
+        # carries a column permutation that make_flooding_decoder does not
+        # apply, which would decode permuted H against unpermuted LLRs.
         from ..ops.flooding import make_flooding_decoder
 
         return make_flooding_decoder(code, spec)
+    code = effective_code(code)
     resolved = backend_for(code, spec, backend)
     if resolved == "pallas":
         from ..kernels import make_pallas_decoder

@@ -71,12 +71,15 @@ def make_hybrid_decoder(
         if nh:
             host_bits, host_used = decode_oracle(code, llr[nd:], gp)
         bits = np.empty((b, code.N), np.uint8)
-        used = spec.iters
+        # iters_used covers the WHOLE batch: max of the device slice's
+        # scalar count and the host slice's per-frame counts
+        used = 0
         if dev_out is not None:
             bits[:nd] = np.asarray(dev_out[0])
             used = int(dev_out[1])
         if nh:
             bits[nd:] = host_bits.astype(np.uint8)
+            used = max(used, int(np.max(host_used)))
         return bits, used
 
     return decode

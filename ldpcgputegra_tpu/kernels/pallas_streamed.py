@@ -361,12 +361,12 @@ def make_streamed_decoder(
             kernel,
             grid=(1,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # llr tiles (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # msg stream (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # llr tiles (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # msg stream (HBM)
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),  # bits out (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # aliased msg buffer
+                pl.BlockSpec(memory_space=pl.ANY),  # bits out (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),  # aliased msg buffer
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # iters used
             ),
             out_shape=(

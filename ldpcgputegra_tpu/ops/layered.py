@@ -57,6 +57,23 @@ class LayeredSpec:
     sat_var: int = SAT_VAR
     sat_msg: int = SAT_MSG
 
+    def __post_init__(self) -> None:
+        # Every accelerated path stores APP/messages as int8; wider ranges
+        # would silently wrap on the int8 stores while the int64 golden
+        # model stays correct.  Refuse instead of diverging.
+        if not (0 < self.sat_var <= 127):
+            raise ValueError(
+                f"sat_var={self.sat_var}: accelerated paths store APP as "
+                "int8, so var quantizer width is limited to 8 bits "
+                "(sat_var <= 127)"
+            )
+        if not (0 < self.sat_msg <= 127):
+            raise ValueError(
+                f"sat_msg={self.sat_msg}: accelerated paths store messages "
+                "as int8, so msg quantizer width is limited to 8 bits "
+                "(sat_msg <= 127)"
+            )
+
 
 def _f_consts(min1, min2, spec: LayeredSpec):
     """Message magnitudes (f1 for the min edge, f2 for the rest).

@@ -62,6 +62,15 @@ class ErrorAnalyzer:
     k: int  # info bits per frame (nb_vars in x86 naming)
     max_fe: int = 100
     auto_fe: bool = True
+    # Bits actually COUNTED per frame: k when only info bits are compared
+    # (--info-ber, the x86 analyzer's default — CErrorAnalyzer::ber_value
+    # divides by _vars), n otherwise (-wc_fer / the GPU analyzer).  Must
+    # match what the caller feeds add_counts, else BER is off by n/k.
+    counted_bits: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.counted_bits is None:
+            self.counted_bits = self.n
 
     frames: int = 0
     bit_errors: int = 0
@@ -89,7 +98,9 @@ class ErrorAnalyzer:
 
     @property
     def ber(self) -> float:
-        return self.bit_errors / (self.frames * self.n) if self.frames else 0.0
+        if not self.frames:
+            return 0.0
+        return self.bit_errors / (self.frames * self.counted_bits)
 
     @property
     def fer(self) -> float:

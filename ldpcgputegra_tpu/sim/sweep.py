@@ -196,14 +196,22 @@ def run_sweep(
             continue
         sigma = channel.configure(snr)
         analyzer = ErrorAnalyzer(
-            n=code.N, k=code.K, max_fe=cfg.max_fe, auto_fe=cfg.auto_fe
+            n=code.N, k=code.K, max_fe=cfg.max_fe, auto_fe=cfg.auto_fe,
+            counted_bits=code.K if info_only else code.N,
         )
         batch_idx = 0
+        resumed_elapsed = 0.0
         part = ckpt.get("partial")
         if part and part.get("snr") == key_snr:
             analyzer.add_counts(part["frames"], part["be"], part["fe"])
             batch_idx = part["batches"]
-        term = Terminal(analyzer, snr, metrics=metrics_f)
+            # carry the pre-kill wall time so resumed rates/runtime_s stay
+            # honest (dividing pre-resume frames by post-resume elapsed
+            # would inflate mbps/FPM)
+            resumed_elapsed = float(part.get("elapsed_s", 0.0))
+        term = Terminal(
+            analyzer, snr, metrics=metrics_f, start_elapsed=resumed_elapsed
+        )
 
         # Pipelined dispatch (the reference's omp-sections overlap of
         # error counting with next-batch noise generation, main.cpp:271-281,
@@ -258,6 +266,7 @@ def run_sweep(
                 "be": analyzer.bit_errors,
                 "fe": analyzer.frame_errors,
                 "batches": batch_idx,
+                "elapsed_s": term.elapsed(),
             }
             _save_ckpt(cfg.checkpoint, ckpt)
             if (

@@ -33,13 +33,17 @@ class Terminal:
         metrics: Optional[IO[str]] = None,
         out: IO[str] = sys.stdout,
         interval_s: float = 1.0,
+        start_elapsed: float = 0.0,
     ):
         self.analyzer = analyzer
         self.snr_db = snr_db
         self.metrics = metrics
         self.out = out
         self.interval_s = interval_s
-        self.t0 = time.monotonic()
+        # start_elapsed: wall seconds already spent on this point before a
+        # checkpoint resume; keeps rates consistent with the accumulated
+        # pre-resume counters in the analyzer.
+        self.t0 = time.monotonic() - start_elapsed
         self._last = 0.0
 
     def elapsed(self) -> float:
@@ -67,7 +71,7 @@ class Terminal:
             be_fe = a.bit_errors / a.frame_errors
         else:
             # no errors yet: report the resolvable bound like the reference
-            ber = 1.0 / max(a.frames, 1) / a.n
+            ber = 1.0 / max(a.frames, 1) / a.counted_bits
             fer = 1.0 / max(a.frames, 1)
             be_fe = 0.0
             eta_s = "INF."

@@ -66,3 +66,23 @@ def test_flooding_early_term():
     strong = np.full((2, code.N), -31, np.int8)
     _, used0 = d_e(strong)
     assert int(used0) == 1
+
+
+def test_flooding_on_staircase_code_valid_codeword():
+    """Regression: make_decoder(schedule='flooding') on a DVB-family
+    staircase code must decode against the ORIGINAL column order.  Round 1
+    applied effective_code()'s QC view (a column permutation) before the
+    flooding dispatch, so a valid noiseless codeword decoded with thousands
+    of bit errors (masked by all-zero-codeword sims)."""
+    from ldpcgputegra_tpu.channel.encoder import make_encoder
+    from ldpcgputegra_tpu.decoder import make_decoder
+
+    code = load_code("16200x7560")
+    enc = make_encoder(code, "staircase")
+    rng = np.random.default_rng(42)
+    info = rng.integers(0, 2, size=(2, code.K), dtype=np.uint8)
+    coded = enc.encode(info)
+    llr = np.where(coded != 0, 31, -31).astype(np.int8)
+    dec = make_decoder(code, LayeredSpec(algo="OMS", iters=4, schedule="flooding"))
+    bits = np.asarray(dec(llr)[0])
+    np.testing.assert_array_equal(bits, coded.astype(np.uint8))

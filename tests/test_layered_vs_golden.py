@@ -102,13 +102,6 @@ def test_early_term_matches_fixed_iters_on_convergence():
     bits_fix = np.asarray(d_fix(llrs)[0])
     bits_et, iters = d_et(llrs)
     bits_et = np.asarray(bits_et)
-    # wherever a frame converged, outputs must agree; unconverged frames at
-    # max iters also agree because freezing only applies after convergence
-    from ldpcgputegra_tpu.golden.decoder import syndrome_ok
-
-    for b in range(8):
-        if syndrome_ok(code, bits_et[b]):
-            pass  # converged frames are internally consistent
     assert int(iters) <= 10
     np.testing.assert_array_equal(bits_fix, bits_et)
 
@@ -117,7 +110,8 @@ def test_configurable_quantization_ranges():
     """-var/-msg equivalents: narrower saturation changes decode behaviour
     and all paths (XLA, golden NumPy, native oracle) agree bit for bit."""
     code = load_code("576x288")
-    llrs = _random_llrs(code.N, 4, seed=21)
+    # seed 3: an input where the narrow ranges actually change the decode
+    llrs = _random_llrs(code.N, 4, seed=3)
     spec = LayeredSpec(algo="OMS", iters=5, sat_var=63, sat_msg=15)
     dec = make_layered_decoder(code, spec)
     bits = np.asarray(dec(llrs)[0])
@@ -126,7 +120,7 @@ def test_configurable_quantization_ranges():
     np.testing.assert_array_equal(bits, refs)
     # and the range genuinely matters: default-range decode differs
     d2 = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=5))
-    assert not np.array_equal(np.asarray(d2(llrs)[0]), bits) or True
+    assert not np.array_equal(np.asarray(d2(llrs)[0]), bits)
 
 
 def test_node_major_decode_path():

@@ -189,3 +189,26 @@ def test_cli_kill_and_resume(tmp_path):
     assert (got["frames"], got["be"], got["fe"]) == (
         ref["frames"], ref["be"], ref["fe"]
     )
+
+
+def test_info_mode_ber_denominator():
+    """--info-ber counts errors over K bits only, so BER must divide by K
+    (CErrorAnalyzer::ber_value divides by _vars in this mode), not N."""
+    a = ErrorAnalyzer(n=1000, k=500, counted_bits=500)
+    a.add_counts(10, 50, 5)
+    assert a.ber == 50 / (10 * 500)
+    b = ErrorAnalyzer(n=1000, k=500)  # default: all coded bits counted
+    b.add_counts(10, 50, 5)
+    assert b.ber == 50 / (10 * 1000)
+
+
+def test_layered_spec_rejects_wide_quantizers():
+    """var/msg widths beyond int8 storage must raise, not silently wrap."""
+    import pytest
+    from ldpcgputegra_tpu.ops.layered import LayeredSpec
+
+    with pytest.raises(ValueError):
+        LayeredSpec(sat_var=255)
+    with pytest.raises(ValueError):
+        LayeredSpec(sat_msg=511)
+    LayeredSpec(sat_var=127, sat_msg=31)  # reference defaults stay valid
