@@ -46,26 +46,62 @@ def measure_call(
     k_large: int = 20,
     repeats: int = 3,
 ) -> float:
-    """Seconds per ``fn(input)`` call, slope-based.
+    """Seconds per ``fn(input)`` call, slope-based and dedup-proof.
 
     ``fn`` must return an array (or tuple whose first element is one).
     ``inputs`` are device-resident distinct operands, cycled through.
+
+    Dedup-proofing: cycling a small input pool would replay identical
+    (executable, operands) pairs — exactly what the relay short-circuits,
+    which would shrink the slope and inflate every derived Gbps figure.
+    Instead every call XORs its input with a fresh int salt inside one
+    jitted wrapper, so no (executable, operands) pair ever repeats across
+    calls, runs, or repeats.  The salted input is a same-shape, same-work
+    LLR batch (decode runtime is data-independent at fixed iters); the XOR
+    itself is one fused elementwise pass, <1% of any measured kernel.
     """
     probe = _probe_fn()
+    x0 = inputs[0]
+    int_salt = jnp.issubdtype(jnp.asarray(x0).dtype, jnp.integer)
 
     def first(out):
         return out[0] if isinstance(out, tuple) else out
 
-    # warm: compile fn and probe, materialize inputs
+    if int_salt:
+        dt = jnp.asarray(x0).dtype
+
+        @jax.jit
+        def call(x, s):
+            return first(fn(jnp.bitwise_xor(x, s)))
+
+        def make_salt(i: int):
+            return jnp.asarray(i % 125 + 1, dt)
+    else:  # float inputs: add a tiny distinct offset instead
+
+        @jax.jit
+        def call(x, s):
+            return first(fn(x + s))
+
+        def make_salt(i: int):
+            return jnp.asarray((i % 125 + 1) * 1e-6, jnp.asarray(x0).dtype)
+
+    salt_counter = [0]
+
+    def next_salt():
+        salt_counter[0] += 1
+        return make_salt(salt_counter[0])
+
+    # warm: compile the salted wrapper and probe, materialize inputs
     for x in inputs:
         float(probe(x))
-    float(probe(first(fn(inputs[0]))))
+    float(probe(call(x0, next_salt())))
 
     def run(k: int) -> float:
+        salts = [next_salt() for _ in range(k)]  # staged pre-timing
         t0 = time.perf_counter()
         out = None
         for i in range(k):
-            out = first(fn(inputs[i % len(inputs)]))
+            out = call(inputs[i % len(inputs)], salts[i])
         float(probe(out))
         return time.perf_counter() - t0
 

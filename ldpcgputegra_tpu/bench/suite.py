@@ -36,7 +36,8 @@ CONFIGS = [
 ]
 
 
-def bench_one(name: str, batch: int, iters: int, quick: bool) -> dict:
+def bench_one(name: str, batch: int, iters: int, quick: bool,
+              rates: dict | None = None) -> dict:
     code = load_code(name)
     spec = LayeredSpec(algo="OMS", iters=iters, early_term=False)
     backend = backend_for(code, spec)
@@ -52,8 +53,10 @@ def bench_one(name: str, batch: int, iters: int, quick: bool) -> dict:
     sec = measure_call(dec, inputs, k_small=ks, k_large=kl)
     rep = throughput_report(sec, batch, code.N)
     eff = effective_code(code)
+    rates = rates or {}
     roof = roofline_report(
-        eff, spec, batch, sec, streamed=(backend == "pallas-streamed")
+        eff, spec, batch, sec, streamed=(backend == "pallas-streamed"),
+        vpu_rate=rates.get("vpu"), hbm_rate=rates.get("hbm"),
     )
     return {
         "code": name,
@@ -63,7 +66,26 @@ def bench_one(name: str, batch: int, iters: int, quick: bool) -> dict:
         **{k: round(v, 3) for k, v in rep.items()},
         "roofline_frac": round(roof["roofline_frac"], 3),
         "bound": roof["bound"],
+        "ceiling": roof["ceiling"],
     }
+
+
+def probe_rates() -> dict:
+    """Measure the chip's sustained VPU/HBM ceilings once per suite run."""
+    from .vpu_probe import measure_hbm_bw, measure_vpu_rate
+
+    rates = {}
+    try:
+        rates["vpu"] = measure_vpu_rate()
+        rates["hbm"] = measure_hbm_bw()
+        print(
+            f"(II) probed ceilings: VPU {rates['vpu']/1e12:.2f} Telem-ops/s, "
+            f"HBM {rates['hbm']/1e9:.0f} GB/s",
+            flush=True,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"(WW) ceiling probe failed ({e}); using table ceilings")
+    return rates
 
 
 def main() -> None:
@@ -77,13 +99,14 @@ def main() -> None:
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     enable_compile_cache()
+    rates = probe_rates()
 
     rows = []
     for name, batch, base10 in CONFIGS:
         for iters in (10, 5):
             t0 = time.time()
             try:
-                r = bench_one(name, batch, iters, args.quick)
+                r = bench_one(name, batch, iters, args.quick, rates)
             except Exception as e:  # noqa: BLE001
                 print(f"(EE) {name}@{iters}it failed: {e}")
                 continue
@@ -94,8 +117,8 @@ def main() -> None:
             print(
                 f"(PERF) {name} {iters}it [{r['backend']}]: "
                 f"{r['ms_per_call']} ms, {r['coded_mbps']} Mbps coded, "
-                f"roofline {r['roofline_frac']} ({r['bound']}-bound) "
-                f"[{time.time()-t0:.0f}s]",
+                f"roofline {r['roofline_frac']} ({r['bound']}-bound, "
+                f"{r['ceiling']} ceiling) [{time.time()-t0:.0f}s]",
                 flush=True,
             )
 
