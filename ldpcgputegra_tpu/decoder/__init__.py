@@ -5,8 +5,11 @@
 in ``code/gpu_fixed/main.cpp:212-228``) with backend selection:
 
 * ``pallas`` — the fused single-kernel TPU path (QC codes on TPU devices);
+* ``pallas-streamed`` — HBM-streamed messages (QC codes beyond VMEM);
+* ``pallas-gather``   — fused static-gather kernel (non-QC codes, colored
+  schedule, ``kernels/pallas_gather.py``);
 * ``xla``    — the gather/roll XLA path (any code, any backend);
-* ``auto``   — pallas when supported on the current backend, else xla.
+* ``auto``   — the best supported Pallas variant on TPU, else xla.
 
 Staircase (DVB-S2-family) codes are transparently replaced by their Z=360
 QC view (``codes.dvbs2.to_qc_form``) so they hit the fast roll/Pallas
@@ -64,13 +67,23 @@ def _pallas_fits(code: LdpcCode) -> bool:
     return tb * vmem_per_lane(code) <= (100 << 20)
 
 
+def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
+    from ..kernels.pallas_gather import gather_vmem_bytes
+
+    return gather_vmem_bytes(code, spec) <= (100 << 20)
+
+
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:
     from ..kernels import pallas_supported
+    from ..kernels.pallas_gather import gather_supported
 
     code = effective_code(code)
     if backend == "auto":
-        if pallas_supported(code, spec) and _on_tpu():
-            return "pallas" if _pallas_fits(code) else "pallas-streamed"
+        if _on_tpu():
+            if pallas_supported(code, spec):
+                return "pallas" if _pallas_fits(code) else "pallas-streamed"
+            if gather_supported(code, spec) and _gather_fits(code, spec):
+                return "pallas-gather"
         return "xla"
     return backend
 
@@ -102,6 +115,10 @@ def make_decoder(
         from ..kernels.pallas_streamed import make_streamed_decoder
 
         return make_streamed_decoder(code, spec, batch_tile=batch_tile)
+    if resolved == "pallas-gather":
+        from ..kernels.pallas_gather import make_gather_decoder
+
+        return make_gather_decoder(code, spec, interpret=interpret)
     if resolved == "xla":
         return make_layered_decoder(code, spec)
     raise ValueError(f"unknown backend {backend!r}")

@@ -1,0 +1,95 @@
+"""Non-QC Pallas gather kernel: bit-exact vs the golden model in the same
+(colored) check order; early-term freeze; ragged-batch padding.
+
+Runs in interpret mode on CPU (the kernel itself is TPU-targeted; Mosaic
+compilation is exercised on hardware by the bench suite)."""
+
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.codes.code import DegreeClass, LdpcCode
+from ldpcgputegra_tpu.codes.registry import make_random_regular_code
+from ldpcgputegra_tpu.codes.schedule import build_layers
+from ldpcgputegra_tpu.golden import GoldenParams, decode_oracle
+from ldpcgputegra_tpu.kernels.pallas_gather import (
+    gather_vmem_bytes,
+    make_gather_decoder,
+)
+from ldpcgputegra_tpu.ops.layered import LayeredSpec
+
+
+def _llrs(n, b, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        8.0 * rng.normal(-1.0, 0.8, size=(b, n)), -31, 31
+    ).astype(np.int8)
+
+
+def _colored_view(code, schedule="colored"):
+    """A code whose reference order IS the schedule order (golden target)."""
+    layers = build_layers(code, schedule)
+    degs = sorted({l.deg for l in layers})
+    assert len(degs) == 1, "test codes are regular"
+    idx = np.concatenate([l.idx for l in layers], axis=0)
+    return LdpcCode(
+        name="perm", N=code.N, K=code.K,
+        classes=(DegreeClass(degs[0], idx.shape[0]),), class_idx=(idx,),
+    )
+
+
+@pytest.mark.parametrize("algo,minclamp", [("OMS", "pre"), ("2NMS", "post")])
+def test_gather_kernel_bit_exact_colored(algo, minclamp):
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    spec = LayeredSpec(algo=algo, iters=3, minclamp=minclamp,
+                       schedule="colored")
+    dec = make_gather_decoder(code, spec, interpret=True)
+    llrs = _llrs(code.N, 3, seed=11)
+    bits, it = dec(llrs)
+    refs, _ = decode_oracle(
+        _colored_view(code),
+        llrs,
+        GoldenParams(algo=algo, iters=3, minclamp=minclamp),
+    )
+    assert int(it) == 3
+    np.testing.assert_array_equal(np.asarray(bits), refs)
+
+
+def test_gather_kernel_early_term_freeze():
+    """ET output == fixed-iteration output (frozen updates), and noiseless
+    input converges in one iteration."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    s_fix = LayeredSpec(algo="OMS", iters=4, schedule="colored")
+    s_et = LayeredSpec(algo="OMS", iters=4, schedule="colored",
+                       early_term=True)
+    llrs = _llrs(code.N, 2, seed=3)
+    bits_f = np.asarray(make_gather_decoder(code, s_fix, interpret=True)(llrs)[0])
+    d_et = make_gather_decoder(code, s_et, interpret=True)
+    bits_e, used = d_et(llrs)
+    np.testing.assert_array_equal(bits_f, np.asarray(bits_e))
+    assert int(used) <= 4
+    strong = np.full((2, code.N), -31, np.int8)
+    _, used0 = d_et(strong)
+    assert int(used0) == 1
+
+
+def test_gather_kernel_ragged_batch():
+    """B not a multiple of the 1024-codeword tile: zero-padded, results for
+    the real frames unchanged."""
+    code = make_random_regular_code(256, 128, 6, seed=9)
+    spec = LayeredSpec(algo="OMS", iters=2, schedule="colored")
+    dec = make_gather_decoder(code, spec, interpret=True)
+    llrs = _llrs(code.N, 5, seed=2)
+    bits5 = np.asarray(dec(llrs)[0])
+    refs, _ = decode_oracle(
+        _colored_view(code), llrs, GoldenParams(algo="OMS", iters=2)
+    )
+    np.testing.assert_array_equal(bits5, refs)
+
+
+def test_gather_vmem_estimate_4000x2000():
+    """The paper's headline code must fit the auto-selection VMEM budget."""
+    from ldpcgputegra_tpu.codes.registry import load_code
+
+    code = load_code("4000x2000")
+    spec = LayeredSpec(algo="OMS", iters=10, schedule="auto")
+    assert gather_vmem_bytes(code, spec) <= (100 << 20)
