@@ -110,6 +110,40 @@ def measure_call(
     return max((t_large - t_small) / (k_large - k_small), 1e-9)
 
 
+def measure_host_call(
+    fn: Callable,
+    inputs: Sequence,
+    k_small: int = 3,
+    k_large: int = 12,
+    repeats: int = 3,
+) -> float:
+    """Slope timing for HOST-DRIVEN decode paths (e.g. the two-phase
+    compaction decoder), which cannot be wrapped in jit.
+
+    Dedup-proofing here is structural: ``len(inputs)`` must be >=
+    ``k_large`` and no input is ever passed twice within a run, so the
+    device never sees a repeated (executable, operands) pair for the
+    expensive phase-1 call.  (Across repeats the same pairs DO recur; the
+    min-over-repeats then reflects any relay caching, so prefer repeats=1
+    on relay backends if that matters — phase-2 tail batches differ run to
+    run anyway, keeping the dominant work un-replayable.)
+    """
+    assert len(inputs) >= k_large, "need k_large distinct inputs"
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for i in range(k):
+            out = fn(inputs[i])
+        jax.block_until_ready(jnp.asarray(out[0]).sum())
+        return time.perf_counter() - t0
+
+    run(2)  # warm
+    t_small = min(run(k_small) for _ in range(repeats))
+    t_large = min(run(k_large) for _ in range(repeats))
+    return max((t_large - t_small) / (k_large - k_small), 1e-9)
+
+
 def throughput_report(
     seconds_per_call: float, frames: int, n: int
 ) -> dict:

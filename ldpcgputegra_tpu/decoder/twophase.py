@@ -1,0 +1,114 @@
+"""Two-phase (compaction) early termination — the TPU-native EARLY_TERM.
+
+The reference's EARLY_TERM breaks per CUDA thread (4 packed codewords,
+``CUDA_2NMS_SIMD.cu:17``, break at ``CUDA_MS_SIMD.cu:242-245``): threads
+that finish retire and free SM issue slots.  A TPU kernel has no analogue
+— vector ops process every lane regardless, so in-kernel ET only pays off
+once an ENTIRE batch tile converges, which at operating SNRs is gated by
+the slowest of ~256+ codewords.
+
+The TPU answer exploits the batch instead:
+
+* phase 1 decodes the whole batch at a fixed ``k1`` iterations (no ET
+  masking — cheapest kernel) and computes each frame's syndrome on
+  device;
+* the host fetches the per-frame convergence mask (one small transfer,
+  overlappable with the next batch's dispatch) and re-decodes ONLY the
+  unconverged frames at the full iteration budget.
+
+Because fixed-point layered decoding is deterministic, re-decoding an
+unconverged frame from scratch at ``iters`` gives exactly the bits a
+per-frame early-terminating decoder would produce, and frames converged
+at ``k1`` are exactly ET's early exits: the output is bit-identical to
+per-frame EARLY_TERM semantics, but the expensive deep decode runs on the
+few-percent tail instead of the whole batch.  Effective cost per frame
+approaches ``k1 + FER(k1) * iters`` instead of ``max_frame(iters_used)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codes.code import LdpcCode
+from ..ops.layered import LayeredSpec
+
+__all__ = ["make_twophase_decoder", "syndrome_fn"]
+
+
+def syndrome_fn(code: LdpcCode):
+    """Jittable per-frame syndrome check: ``ok[B] = all checks satisfied``.
+
+    Works on the ORIGINAL code's edge table (hard bits are in original
+    column order at the decoder boundary)."""
+    tables = [jnp.asarray(ci) for ci in code.class_idx]
+
+    def ok(bits: jax.Array):  # [B, N] uint8
+        good = None
+        for ci in tables:
+            par = bits[:, ci.reshape(-1)].reshape(
+                bits.shape[0], ci.shape[0], ci.shape[1]
+            )
+            unsat = jnp.any(par.sum(axis=2) & 1, axis=1)
+            good = ~unsat if good is None else (good & ~unsat)
+        return good
+
+    return ok
+
+
+def make_twophase_decoder(
+    code: LdpcCode,
+    spec: LayeredSpec,
+    k1: int = 5,
+    backend: str = "auto",
+    tail_pad: int = 128,
+    interpret: bool = False,
+):
+    """Build ``decode(llr[B, N]) -> (bits[B, N] uint8, stats dict)``.
+
+    ``spec.iters`` is the full budget; ``spec.early_term`` is implied (the
+    phase structure IS the early termination).  ``stats`` reports phase-2
+    frame count and the effective decoded-iterations per frame.
+    """
+    import dataclasses
+
+    from . import make_decoder
+
+    base = dataclasses.replace(spec, early_term=False)
+    dec1 = make_decoder(
+        code, dataclasses.replace(base, iters=k1), backend=backend,
+        interpret=interpret,
+    )
+    dec2 = make_decoder(code, base, backend=backend, interpret=interpret)
+    ok_fn = syndrome_fn(code)
+
+    @jax.jit
+    def phase1(llr):
+        bits, _ = dec1(llr)
+        return bits, ok_fn(bits)
+
+    def decode(llr, ref_bits: Optional[np.ndarray] = None):
+        del ref_bits
+        llr = np.asarray(llr, np.int8)
+        b = llr.shape[0]
+        bits, ok = phase1(llr)
+        ok = np.asarray(ok)
+        bad = np.flatnonzero(~ok)
+        stats = {
+            "phase2_frames": int(bad.size),
+            "eff_iters_per_frame": k1 + spec.iters * bad.size / max(b, 1),
+        }
+        if bad.size == 0:
+            return np.asarray(bits), stats
+        # pad the tail batch to the decoder's preferred lane multiple
+        pad = (-bad.size) % tail_pad
+        idx = np.concatenate([bad, np.zeros(pad, np.int64)])
+        tail_bits, _ = dec2(llr[idx])
+        out = np.asarray(bits).copy()
+        out[bad] = np.asarray(tail_bits)[: bad.size]
+        return out, stats
+
+    return decode

@@ -65,3 +65,35 @@ def test_decode_stream_ordered_results():
     for (bits, _), llr in zip(outs, batches):
         refs, _ = decode_oracle(code, llr, gp)
         np.testing.assert_array_equal(bits, refs)
+
+
+def test_twophase_decoder_matches_per_frame_early_term():
+    """Two-phase compaction ET == per-frame ET semantics: frames converged
+    at k1 keep their k1-iteration bits; the rest get full-depth bits."""
+    import numpy as np
+
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.decoder.twophase import (
+        make_twophase_decoder,
+        syndrome_fn,
+    )
+    from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
+
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=10)
+    rng = np.random.default_rng(17)
+    # noisy enough that some frames need more than k1=3 iterations
+    llr = np.clip(
+        8.0 * (-1.0 + 0.75 * rng.normal(size=(64, code.N))), -31, 31
+    ).astype(np.int8)
+    tp = make_twophase_decoder(code, spec, k1=3, backend="xla")
+    bits, stats = tp(llr)
+    d1 = make_layered_decoder(code, LayeredSpec(algo="OMS", iters=3))
+    d10 = make_layered_decoder(code, spec)
+    bits3 = np.asarray(d1(llr)[0])
+    bits10 = np.asarray(d10(llr)[0])
+    ok3 = np.asarray(syndrome_fn(code)(bits3))
+    assert stats["phase2_frames"] == int((~ok3).sum())
+    assert 0 < stats["phase2_frames"] < 64  # the test is non-trivial
+    np.testing.assert_array_equal(bits[ok3], bits3[ok3])
+    np.testing.assert_array_equal(bits[~ok3], bits10[~ok3])

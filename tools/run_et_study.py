@@ -1,0 +1,158 @@
+"""Early-termination operating-point study (VERDICT round-1 item 5).
+
+Measures, per (code, algo, SNR): fixed-iteration throughput, in-kernel ET
+throughput (per-lane freeze + whole-tile iteration predication), and
+two-phase compaction-ET throughput (decoder/twophase.py), plus the
+convergence statistics that explain them.  Matches the reference's
+production configuration 2NMS + EARLY_TERM=1 (``CUDA_2NMS_SIMD.cu:17``).
+
+Run on the live chip:  python tools/run_et_study.py [--quick]
+Writes benchmarks/ET.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ldpcgputegra_tpu.bench.harness import (  # noqa: E402
+    measure_call,
+    measure_host_call,
+    throughput_report,
+)
+from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec  # noqa: E402
+from ldpcgputegra_tpu.codes.registry import load_code  # noqa: E402
+from ldpcgputegra_tpu.decoder import make_decoder  # noqa: E402
+from ldpcgputegra_tpu.decoder.twophase import (  # noqa: E402
+    make_twophase_decoder,
+    syndrome_fn,
+)
+from ldpcgputegra_tpu.ops.layered import LayeredSpec  # noqa: E402
+from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
+
+# (code, batch, [operating SNRs dB])
+CONFIGS = [
+    ("576x288", 16384, [3.0, 3.5]),
+    ("1944x972", 8192, [2.25, 2.75]),
+    ("2304x1152", 8192, [2.0, 2.5]),
+]
+ALGOS = ["2NMS", "OMS"]
+
+
+def noisy_inputs(code, batch, snr, n, seed0=0):
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    chan.configure(snr)
+    return [
+        chan.generate_zero_int8(jax.random.key(seed0 + i), batch)
+        for i in range(n)
+    ]
+
+
+def study_one(name, batch, snr, algo, quick):
+    code = load_code(name)
+    mc = "pre" if algo == "OMS" else "post"
+    spec10 = LayeredSpec(algo=algo, iters=10, minclamp=mc)
+    spec_et = LayeredSpec(algo=algo, iters=10, minclamp=mc, early_term=True)
+    n_inp = 4 if quick else 12
+    ks, kl = (2, 6) if quick else (3, 12)
+    inputs = noisy_inputs(code, batch, snr, n_inp)
+
+    # convergence stats at this SNR (per-frame syndrome after k iters)
+    ok = syndrome_fn(code)
+    conv = {}
+    for k in (4, 5, 6, 10):
+        dk = make_decoder(code, LayeredSpec(algo=algo, iters=k, minclamp=mc))
+        conv[k] = float(np.asarray(ok(dk(inputs[0])[0])).mean())
+
+    rows = {}
+    d_fix = make_decoder(code, spec10)
+    sec = measure_call(d_fix, inputs, k_small=ks, k_large=kl)
+    rows["fixed10"] = throughput_report(sec, batch, code.N)
+
+    d_et = make_decoder(code, spec_et)
+    sec = measure_call(d_et, inputs, k_small=ks, k_large=kl)
+    it_used = int(d_et(inputs[0])[1])
+    rows["kernel_et"] = {
+        **throughput_report(sec, batch, code.N), "iters_used": it_used,
+    }
+
+    k1 = 5
+    tp = make_twophase_decoder(code, spec10, k1=k1)
+    tp_inputs = noisy_inputs(code, batch, snr, kl, seed0=1000)
+    sec = measure_host_call(tp, tp_inputs, k_small=ks, k_large=kl,
+                            repeats=1)
+    _, stats = tp(np.asarray(tp_inputs[0]))
+    rows["twophase_k5"] = {
+        **throughput_report(sec, batch, code.N), **stats,
+    }
+    return {
+        "code": name, "algo": algo, "snr_db": snr, "batch": batch,
+        "frac_converged": conv, "rows": rows,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="benchmarks/ET.md")
+    args = ap.parse_args()
+    enable_compile_cache()
+    recs = []
+    for name, batch, snrs in CONFIGS:
+        for algo in ALGOS:
+            for snr in snrs:
+                try:
+                    r = study_one(name, batch, snr, algo, args.quick)
+                except Exception as e:  # noqa: BLE001
+                    print(f"(EE) {name} {algo} {snr}: {e}")
+                    continue
+                recs.append(r)
+                f10 = r["rows"]["fixed10"]["coded_mbps"]
+                ket = r["rows"]["kernel_et"]["coded_mbps"]
+                tp5 = r["rows"]["twophase_k5"]["coded_mbps"]
+                print(
+                    f"(PERF) {name} {algo} @{snr} dB: fixed10 {f10:.0f} | "
+                    f"kernelET {ket:.0f} (iters {r['rows']['kernel_et']['iters_used']}) | "
+                    f"twophase {tp5:.0f} Mbps "
+                    f"(eff iters {r['rows']['twophase_k5']['eff_iters_per_frame']:.1f})",
+                    flush=True,
+                )
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("# Early-termination operating-point study\n\n")
+        f.write(
+            "Reference production config: 2NMS + EARLY_TERM "
+            "(`CUDA_2NMS_SIMD.cu:17`).  `kernel ET` = per-lane freeze + "
+            "whole-tile iteration predication; `twophase` = compaction ET "
+            "(`decoder/twophase.py`, bit-identical to per-frame ET).\n\n"
+        )
+        f.write("| code | algo | SNR | P(conv<=5) | fixed10 Mbps | "
+                "kernel-ET Mbps (iters) | twophase Mbps (eff iters) |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for r in recs:
+            rows = r["rows"]
+            f.write(
+                f"| {r['code']} | {r['algo']} | {r['snr_db']} "
+                f"| {r['frac_converged'][5]:.3f} "
+                f"| {rows['fixed10']['coded_mbps']:.0f} "
+                f"| {rows['kernel_et']['coded_mbps']:.0f} "
+                f"({rows['kernel_et']['iters_used']}) "
+                f"| {rows['twophase_k5']['coded_mbps']:.0f} "
+                f"({rows['twophase_k5']['eff_iters_per_frame']:.1f}) |\n"
+            )
+        f.write("\nRaw records:\n\n```json\n")
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+        f.write("```\n")
+    print(f"(II) wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
