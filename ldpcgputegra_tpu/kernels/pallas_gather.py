@@ -137,10 +137,11 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases):
                 v_ref[int(idx[c, j])] = v_new[c]
         return parity  # [G, 8, 128], 0 = check satisfied
 
-    def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref):
+    def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref,
+               cnt_ref):
         v_ref[...] = llr_ref[...].reshape(Npad, _SUB, _LANE).astype(_CT)
         m_ref[...] = jnp.zeros_like(m_ref)
-        iters_ref[0, 0] = jnp.asarray(
+        cnt_ref[0] = jnp.asarray(
             0 if spec.early_term else spec.iters, jnp.int32
         )
         if spec.early_term:
@@ -170,7 +171,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases):
                 def _():
                     unsat = run_layers()
                     unsat_ref[...] = jnp.minimum(unsat_ref[...], unsat)
-                    iters_ref[0, 0] = iters_ref[0, 0] + 1
+                    cnt_ref[0] = cnt_ref[0] + 1
             else:
                 run_layers()
             return 0
@@ -179,6 +180,14 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases):
         out_ref[...] = (
             (v_ref[...] > 0).astype(_ST).reshape(Npad * _SUB, _LANE)
         )
+        # single (1, 1) SMEM iters cell accumulated (max) across grid steps
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            iters_ref[0, 0] = cnt_ref[0]
+
+        @pl.when(pl.program_id(0) != 0)
+        def _():
+            iters_ref[0, 0] = jnp.maximum(iters_ref[0, 0], cnt_ref[0])
 
     return kernel
 
@@ -210,17 +219,18 @@ def make_gather_decoder(
             ],
             out_specs=(
                 pl.BlockSpec((N * _SUB, _LANE), lambda i: (0, i)),
-                pl.BlockSpec((1, 1), lambda i: (i, 0),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((N * _SUB, _LANE * ntiles), _ST),
-                jax.ShapeDtypeStruct((ntiles, 1), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((N, _SUB, _LANE), _CT),  # APP, 1 VREG per VN
                 pltpu.VMEM((msg_rows * _SUB, _LANE), _ST),  # c2v messages
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),  # unsat codeword mask
+                pltpu.SMEM((1,), jnp.int32),  # this tile's iteration count
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(

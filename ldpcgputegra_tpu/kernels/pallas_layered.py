@@ -198,12 +198,13 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             parity = jnp.where(cmask, parity, 0)
         return parity
 
-    def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref):
+    def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref,
+               cnt_ref):
         # load LLRs into the VMEM-resident int32 APP state; zero the messages
         v_ref[...] = llr_ref[...].astype(_CT)
         m_ref[...] = jnp.zeros_like(m_ref)
-        iters_ref[0, 0] = jnp.asarray(0 if spec.early_term else spec.iters,
-                                      jnp.int32)
+        cnt_ref[0] = jnp.asarray(0 if spec.early_term else spec.iters,
+                                 jnp.int32)
         if spec.early_term:
             unsat_ref[...] = jnp.ones_like(unsat_ref)
 
@@ -240,7 +241,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
                     lane_unsat = unsat.max(axis=0)  # [TB] (int32)
                     # freeze lanes whose syndrome is now clean
                     unsat_ref[0] = jnp.minimum(unsat_ref[0], lane_unsat)
-                    iters_ref[0, 0] = iters_ref[0, 0] + 1
+                    cnt_ref[0] = cnt_ref[0] + 1
             else:
                 run_layers()
             return 0
@@ -248,6 +249,16 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
         # fused deinterleave+hard-decision equivalent: bit = (app > 0)
         out_ref[...] = (v_ref[...] > 0).astype(_ST)
+        # iters_used output is ONE (1, 1) SMEM cell accumulated across grid
+        # steps (max over tiles) — per-tile (1, 1) blocks of an (ntiles, 1)
+        # array fail the Mosaic block-mapping divisibility check
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            iters_ref[0, 0] = cnt_ref[0]
+
+        @pl.when(pl.program_id(0) != 0)
+        def _():
+            iters_ref[0, 0] = jnp.maximum(iters_ref[0, 0], cnt_ref[0])
 
     return kernel
 
@@ -318,17 +329,18 @@ def make_pallas_decoder(
                 pl.BlockSpec(
                     (Nb, Z, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((1, 1), lambda i: (i, 0),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((Nb, Z, B), _ST),
-                jax.ShapeDtypeStruct((B // TB, 1), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((Nb, Z, TB), _CT),  # APP state (int32: rollable)
                 pltpu.VMEM((n_msg_slabs, Z, TB), _ST),  # c2v messages
                 pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
+                pltpu.SMEM((1,), jnp.int32),  # this tile's iteration count
             ],
             compiler_params=pltpu.CompilerParams(
                 # 1.5x + flat headroom over the static estimate: early-term

@@ -1,0 +1,44 @@
+"""TPU Mosaic lowering regression (no hardware needed).
+
+``jax.export`` with ``platforms=["tpu"]`` runs the full Pallas->Mosaic
+lowering pipeline locally, catching block-mapping/layout violations that
+would otherwise only surface on the live chip (round 2 found exactly such
+a break: per-tile (1,1) SMEM output blocks fail the Mosaic divisibility
+check for multi-tile grids)."""
+
+import jax
+import numpy as np
+import pytest
+
+from ldpcgputegra_tpu.codes.registry import load_code, make_random_regular_code
+from ldpcgputegra_tpu.kernels.pallas_gather import make_gather_decoder
+from ldpcgputegra_tpu.kernels.pallas_layered import make_pallas_decoder
+from ldpcgputegra_tpu.ops.layered import LayeredSpec
+
+
+def _export(dec, batch, n):
+    llr = np.zeros((batch, n), np.int8)
+    return jax.export.export(jax.jit(dec), platforms=["tpu"])(llr)
+
+
+@pytest.mark.parametrize("early_term", [False, True])
+def test_qc_kernel_lowers_multitile(early_term):
+    code = load_code("576x288")
+    dec = make_pallas_decoder(
+        code, LayeredSpec(algo="OMS", iters=3, early_term=early_term)
+    )
+    _export(dec, 1024, code.N)  # 4 tiles of 256
+
+
+def test_gather_kernel_lowers_multitile():
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    dec = make_gather_decoder(code, LayeredSpec(algo="OMS", iters=3))
+    _export(dec, 2048, code.N)  # 2 tiles of 1024
+
+
+def test_qc_kernel_lowers_odd_Z():
+    """Z=81 (802.11n 1944x972): sublane dim neither 8-divisible nor padded;
+    must still lower (full-dimension block)."""
+    code = load_code("1944x972")
+    dec = make_pallas_decoder(code, LayeredSpec(algo="OMS", iters=2))
+    _export(dec, 512, code.N)
