@@ -31,6 +31,8 @@ CONFIGS = [
     ("2304x1152", 8192, 132.0),
     ("1944x972", 8192, None),
     ("4000x2000", 4096, 131.0),
+    ("8000x4000", 2048, None),
+    ("9972x4986", 2048, None),
     ("16200x7560", 1024, None),
     ("64800x32400", 512, None),
 ]

@@ -68,9 +68,9 @@ def _pallas_fits(code: LdpcCode) -> bool:
 
 
 def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
-    from ..kernels.pallas_gather import gather_vmem_bytes
+    from ..kernels.pallas_gather import pick_sublanes
 
-    return gather_vmem_bytes(code, spec) <= (100 << 20)
+    return pick_sublanes(code, spec) != 0
 
 
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:

@@ -47,8 +47,8 @@ __all__ = ["make_gather_decoder", "gather_supported", "gather_vmem_bytes"]
 
 _CT = jnp.int32
 _ST = jnp.int8
-_SUB, _LANE = 8, 128
-_TB = _SUB * _LANE  # codewords per kernel tile
+_LANE = 128
+_SUB_DEFAULT = 8  # sublanes per tile: 8 = full-VREG rows; 4 halves VMEM
 
 
 def _plan(code: LdpcCode, spec: LayeredSpec):
@@ -69,17 +69,30 @@ def gather_supported(code: LdpcCode, spec: LayeredSpec) -> bool:
     return spec.schedule in ("auto", "colored", "reference")
 
 
-def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec) -> int:
-    """Working set per 1024-codeword tile: int32 APP + int8 messages +
-    in/out int8 tiles (double-buffered) + slab temporaries."""
+def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
+                      sub: int = _SUB_DEFAULT) -> int:
+    """Working set per tile: int32 APP + int8 messages + in/out int8
+    tiles (double-buffered) + slab temporaries."""
+    tb = sub * _LANE
     layers, _, msg_rows = _plan(code, spec)
-    slab = max(l.idx.size for l in layers) * _TB * 4 * 3
-    return 4 * code.N * _TB + msg_rows * _TB + 4 * code.N * _TB + slab
+    slab = max(l.idx.size for l in layers) * tb * 4 * 3
+    return 4 * code.N * tb + msg_rows * tb + 4 * code.N * tb + slab
 
 
-def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases):
+def pick_sublanes(code: LdpcCode, spec: LayeredSpec,
+                  budget: int = 100 << 20) -> int:
+    """8 sublanes (full-VREG rows) when the working set fits, else 4
+    (half-VREG loads, half the VMEM — lets 8000x4000/9972x4986 in)."""
+    for sub in (8, 4):
+        if gather_vmem_bytes(code, spec, sub) <= budget:
+            return sub
+    return 0
+
+
+def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases, sub):
     sv, sm = spec.sat_var, spec.sat_msg
     Npad = code.N
+    _SUB = sub
 
     def layer_pass(v_ref, m_ref, lay, base, active):
         idx = np.asarray(lay.idx)  # [G, deg] static
@@ -196,6 +209,7 @@ def make_gather_decoder(
     code: LdpcCode,
     spec: LayeredSpec = LayeredSpec(),
     interpret: bool = False,
+    sublanes: int | None = None,
 ):
     """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``.
 
@@ -206,7 +220,11 @@ def make_gather_decoder(
     """
     assert gather_supported(code, spec)
     layers, bases, msg_rows = _plan(code, spec)
-    kernel = _build_kernel(code, spec, layers, bases)
+    sub = sublanes if sublanes is not None else pick_sublanes(code, spec)
+    assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"
+    _SUB = sub
+    _TB = _SUB * _LANE
+    kernel = _build_kernel(code, spec, layers, bases, sub)
     N = code.N
 
     def _call(llr2):  # [N*8, 128*ntiles] int8
@@ -234,7 +252,8 @@ def make_gather_decoder(
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
-                    int(gather_vmem_bytes(code, spec) * 1.4) + (4 << 20),
+                    int(gather_vmem_bytes(code, spec, _SUB) * 1.4)
+                    + (4 << 20),
                     120 << 20,
                 ),
             ),

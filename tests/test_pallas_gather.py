@@ -93,3 +93,34 @@ def test_gather_vmem_estimate_4000x2000():
     code = load_code("4000x2000")
     spec = LayeredSpec(algo="OMS", iters=10, schedule="auto")
     assert gather_vmem_bytes(code, spec) <= (100 << 20)
+
+
+def test_gather_kernel_sublane4_bit_exact():
+    """The half-VREG (sublanes=4) tile — used when 8 sublanes exceed VMEM
+    (8000x4000, 9972x4986) — is bit-identical to the default tile."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    spec = LayeredSpec(algo="OMS", iters=3, schedule="colored")
+    llrs = _llrs(code.N, 3, seed=11)
+    bits8 = np.asarray(
+        make_gather_decoder(code, spec, interpret=True, sublanes=8)(llrs)[0]
+    )
+    bits4 = np.asarray(
+        make_gather_decoder(code, spec, interpret=True, sublanes=4)(llrs)[0]
+    )
+    np.testing.assert_array_equal(bits8, bits4)
+    refs, _ = decode_oracle(
+        _colored_view(code), llrs, GoldenParams(algo="OMS", iters=3)
+    )
+    np.testing.assert_array_equal(bits4, refs)
+
+
+def test_gather_sublane_autoselect():
+    """pick_sublanes: 8 when the full-VREG working set fits, 4 for the
+    big non-QC codes, and backend_for routes them to pallas-gather."""
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.kernels.pallas_gather import pick_sublanes
+
+    spec = LayeredSpec(algo="OMS", iters=10, schedule="auto")
+    assert pick_sublanes(load_code("4000x2000"), spec) == 8
+    assert pick_sublanes(load_code("8000x4000"), spec) == 4
+    assert pick_sublanes(load_code("9972x4986"), spec) == 4

@@ -11,7 +11,12 @@ from ldpcgputegra_tpu.codes.registry import load_code
 from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
 
 VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
-VECTORS = sorted(glob.glob(os.path.join(VEC_DIR, "*.npz")))
+# refcheck_*.npz are reference-compiled-oracle vectors (tests/test_refcheck.py)
+VECTORS = sorted(
+    p
+    for p in glob.glob(os.path.join(VEC_DIR, "*.npz"))
+    if not os.path.basename(p).startswith("refcheck_")
+)
 
 
 @pytest.mark.parametrize("path", VECTORS, ids=[os.path.basename(p) for p in VECTORS])
