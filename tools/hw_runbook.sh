@@ -1,0 +1,52 @@
+#!/bin/bash
+# Hardware runbook: every chip-bound job of this round, run SERIALLY
+# (the relay grants the chip to one process; concurrency wedges it).
+# Each step is independently resumable; logs land in benchmarks/logs/.
+#
+#   bash tools/hw_runbook.sh [step ...]   # default: all steps in order
+#
+# Steps:
+#   probe     - 90s device probe (abort the runbook if the relay is down)
+#   suite     - full throughput suite -> RESULTS.md   (VERDICT item 1)
+#   validate  - streamed+gather hw validation         (VERDICT items 2,7)
+#   et        - early-termination study -> ET.md      (VERDICT item 5)
+#   profile   - 1944x972 outlier investigation        (VERDICT item 8)
+#   ber       - missing BER curves (2NMS, 64800)      (VERDICT item 6)
+#   tail1944  - re-measure the 2.75 dB tail point at FE>=100
+#   bench     - the driver's one-line bench.py JSON
+cd "$(dirname "$0")/.." || exit 1
+mkdir -p benchmarks/logs
+STEPS=("$@")
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe suite validate et profile ber tail1944 bench)
+
+run() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "== $name ($(date +%H:%M:%S)) =="
+  timeout "$tmo" "$@" 2>&1 | tee "benchmarks/logs/$name.log"
+  local rc=${PIPESTATUS[0]}
+  echo "== $name done rc=$rc =="
+  return "$rc"
+}
+
+for s in "${STEPS[@]}"; do
+  case $s in
+    probe)
+      run probe 120 python -c "import jax; print(jax.devices())" || exit 1 ;;
+    suite)
+      run suite 14400 python -m ldpcgputegra_tpu.bench.suite ;;
+    validate)
+      run validate 7200 python tools/hw_validate.py ;;
+    et)
+      run et 7200 python tools/run_et_study.py ;;
+    profile)
+      run profile 3600 python tools/profile_1944.py ;;
+    ber)
+      run ber 28800 python tools/run_ber_curves.py \
+        --only 576x288_2NMS_10,64800x32400_OMS_10 ;;
+    tail1944)
+      run tail1944 14400 python tools/remeasure_tail.py ;;
+    bench)
+      run bench 3600 python bench.py ;;
+    *) echo "unknown step $s"; exit 2 ;;
+  esac
+done

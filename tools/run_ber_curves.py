@@ -5,10 +5,27 @@ The statistical oracle of SURVEY §4: a correct fixed-point layered decoder
 must reproduce the expected waterfall.  Bit-exactness against the golden
 oracles already pins the semantics; these curves document the channel
 quality end-to-end (channel + quantizer + decoder + analyzer).
+
+Each curve's points are persisted to ``benchmarks/ber_data/<id>.json`` as
+they finish, and ``benchmarks/BER.md`` is regenerated from ALL saved
+curves — so curves can be (re)run selectively with ``--only`` without
+discarding previously measured ones.
+
+Note on external validation: the reference's paper
+(``paper/ldpcGpuTegra.tex``) publishes NO BER figures — it is throughput-
+only — so there is no paper waterfall to diff against.  The external bar
+used instead is the published literature waterfalls for these standard
+codes (802.11n 1944x972, 802.16e 576x288/2304x1152); see the analysis
+notes appended to BER.md.
+
+Usage:  python tools/run_ber_curves.py [--only 576x288_2NMS_10,...]
+                                       [--max-fe N] [--max-frames N]
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 
@@ -17,57 +34,129 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from ldpcgputegra_tpu.sim.sweep import SweepConfig, run_sweep  # noqa: E402
 from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
+# (code, algo, iters, snr_min, snr_max, snr_step, batch)
 CURVES = [
-    ("1944x972", "OMS", 10, 0.5, 2.75, 0.25),
-    ("576x288", "OMS", 10, 0.5, 3.5, 0.5),
-    ("2304x1152", "NMS", 10, 0.5, 2.5, 0.25),
-    ("576x288", "2NMS", 10, 1.0, 3.5, 0.5),
-    ("64800x32400", "OMS", 10, 0.5, 1.5, 0.25),
+    ("1944x972", "OMS", 10, 0.5, 2.75, 0.25, 8192),
+    ("576x288", "OMS", 10, 0.5, 3.5, 0.5, 16384),
+    ("2304x1152", "NMS", 10, 0.5, 2.5, 0.25, 8192),
+    ("576x288", "2NMS", 10, 1.0, 3.5, 0.5, 16384),
+    ("64800x32400", "OMS", 10, 0.5, 1.5, 0.25, 512),
 ]
 
+BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
+DATA_DIR = os.path.join(BENCH_DIR, "ber_data")
 
-def main() -> None:
-    from ldpcgputegra_tpu.utils import device_available
 
-    if not device_available():
-        print("(EE) backend unavailable (TPU relay down); aborting")
-        return
-    enable_compile_cache()
-    out = os.path.join(
-        os.path.dirname(__file__), "..", "benchmarks", "BER.md"
+def curve_id(code: str, algo: str, iters: int) -> str:
+    return f"{code}_{algo}_{iters}"
+
+
+def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames):
+    cfg = SweepConfig(
+        code=code,
+        algo=algo,
+        iters=iters,
+        snr_min=lo,
+        snr_max=hi,
+        snr_step=step,
+        batch=batch,
+        max_fe=max_fe,
+        max_frames=max_frames,
+        timer_s=90.0,
+        early_term=True,
     )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    print(f"== {code} {algo} {iters}it ==", flush=True)
+    res = run_sweep(cfg, progress=True)
+    return {
+        "code": code,
+        "algo": algo,
+        "iters": iters,
+        "points": [
+            {
+                "snr_db": p.snr_db,
+                "ber": p.ber,
+                "fer": p.fer,
+                "frames": p.frames,
+                "fe": p.fe,
+                "be": p.be,
+            }
+            for p in res.points
+        ],
+    }
+
+
+def write_md() -> str:
+    out = os.path.join(BENCH_DIR, "BER.md")
     lines = [
         "# BER/FER waterfalls (live TPU, fixed-point layered decoding)\n",
         "\nAWGN, BPSK, all-zero codeword, factor-8 int8 LLRs (+/-31), "
-        "adaptive FE limit 100, early termination on.\n",
+        "adaptive FE limit, early termination on.\n",
+        "\nThe reference paper (`paper/ldpcGpuTegra.tex`) publishes no BER "
+        "figures (throughput only), so no paper waterfall exists to diff "
+        "against; the curves below are checked against published "
+        "literature waterfalls for the same standard codes instead.\n",
     ]
-    for code, algo, iters, lo, hi, step in CURVES:
-        cfg = SweepConfig(
-            code=code,
-            algo=algo,
-            iters=iters,
-            snr_min=lo,
-            snr_max=hi,
-            snr_step=step,
-            batch=4096,
-            max_fe=100,
-            max_frames=3_000_000,
-            timer_s=90.0,
-            early_term=True,
+    curves = []
+    if os.path.isdir(DATA_DIR):
+        for fn in sorted(os.listdir(DATA_DIR)):
+            if fn.endswith(".json"):
+                with open(os.path.join(DATA_DIR, fn)) as f:
+                    curves.append(json.load(f))
+    # keep the CURVES declaration order for known ids
+    order = {curve_id(c, a, i): k for k, (c, a, i, *_rest) in enumerate(CURVES)}
+    curves.sort(key=lambda d: order.get(curve_id(d["code"], d["algo"], d["iters"]), 99))
+    for cur in curves:
+        lines.append(
+            f"\n## {cur['code']} — {cur['algo']}, {cur['iters']} iterations\n\n"
         )
-        print(f"== {code} {algo} {iters}it ==", flush=True)
-        res = run_sweep(cfg, progress=True)
-        lines.append(f"\n## {code} — {algo}, {iters} iterations\n\n")
         lines.append("| Eb/N0 (dB) | BER | FER | frames | FE |\n")
         lines.append("|---|---|---|---|---|\n")
-        for p in res.points:
+        for p in cur["points"]:
             lines.append(
-                f"| {p.snr_db:.2f} | {p.ber:.3e} | {p.fer:.3e} "
-                f"| {p.frames} | {p.fe} |\n"
+                f"| {p['snr_db']:.2f} | {p['ber']:.3e} | {p['fer']:.3e} "
+                f"| {p['frames']} | {p['fe']} |\n"
             )
+    notes = os.path.join(BENCH_DIR, "BER_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            lines.append("\n" + f.read())
     with open(out, "w") as f:
         f.writelines(lines)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="comma-separated curve ids")
+    ap.add_argument("--max-fe", type=int, default=100)
+    ap.add_argument("--max-frames", type=int, default=3_000_000)
+    ap.add_argument(
+        "--md-only", action="store_true",
+        help="regenerate BER.md from saved data, no decoding",
+    )
+    args = ap.parse_args()
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    if not args.md_only:
+        from ldpcgputegra_tpu.utils import device_available
+
+        if not device_available():
+            print("(EE) backend unavailable (TPU relay down); aborting")
+            return
+        enable_compile_cache()
+        only = {s for s in args.only.split(",") if s}
+        for code, algo, iters, lo, hi, step, batch in CURVES:
+            cid = curve_id(code, algo, iters)
+            if only and cid not in only:
+                continue
+            data = run_curve(
+                code, algo, iters, lo, hi, step, batch,
+                args.max_fe, args.max_frames,
+            )
+            with open(os.path.join(DATA_DIR, cid + ".json"), "w") as f:
+                json.dump(data, f, indent=1)
+            write_md()  # checkpoint the document after every curve
+    out = write_md()
     print(f"wrote {out}")
 
 
