@@ -114,6 +114,37 @@ def test_gather_kernel_sublane4_bit_exact():
     np.testing.assert_array_equal(bits4, refs)
 
 
+def test_gather_kernel_irregular_bit_exact():
+    """Two degree classes (as in irregular references like 16200x7560's
+    raw form): the colored schedule colors each class separately, so the
+    kernel sees uniform-degree layers; output must equal the golden model
+    decoding checks in the same (layer-concatenated) order."""
+    a = make_random_regular_code(256, 128, 8, seed=21)
+    b = make_random_regular_code(256, 192, 4, seed=22)
+    code = LdpcCode(
+        name="irr",
+        N=256,
+        K=128,
+        classes=(DegreeClass(8, 128), DegreeClass(4, 64)),
+        class_idx=(a.class_idx[0], b.class_idx[0]),
+    )
+    spec = LayeredSpec(algo="OMS", iters=3, schedule="colored")
+    dec = make_gather_decoder(code, spec, interpret=True)
+    llrs = _llrs(code.N, 3, seed=13)
+    bits, it = dec(llrs)
+
+    layers = build_layers(code, "colored")
+    view = LdpcCode(
+        name="irr-view",
+        N=code.N,
+        K=code.K,
+        classes=tuple(DegreeClass(l.deg, l.idx.shape[0]) for l in layers),
+        class_idx=tuple(l.idx for l in layers),
+    )
+    refs, _ = decode_oracle(view, llrs, GoldenParams(algo="OMS", iters=3))
+    np.testing.assert_array_equal(np.asarray(bits), refs)
+
+
 def test_gather_sublane_autoselect():
     """pick_sublanes: 8 when the full-VREG working set fits, 4 for the
     big non-QC codes, and backend_for routes them to pallas-gather."""
