@@ -54,47 +54,35 @@ def measure_call(
     Dedup-proofing: cycling a small input pool would replay identical
     (executable, operands) pairs — exactly what the relay short-circuits,
     which would shrink the slope and inflate every derived Gbps figure.
-    Instead every call XORs its input with a fresh int salt inside one
-    jitted wrapper, so no (executable, operands) pair ever repeats across
-    calls, runs, or repeats.  The salted input is a same-shape, same-work
-    LLR batch (decode runtime is data-independent at fixed iters); the XOR
-    itself is one fused elementwise pass, <1% of any measured kernel.
+    Every call therefore carries a fresh int32 salt operand folded into
+    the OUTPUT as ``out + min(salt, 0)`` — exactly zero for the positive
+    salts used, but not foldable (the salt is a traced scalar), so the
+    salt stays live and no (executable, operands) pair ever repeats
+    across calls, runs, or repeats.  The *input* is passed through
+    untouched: perturbing it would change the measured work on
+    data-dependent paths (early termination), where the decode time is a
+    function of the LLR distribution being timed.
     """
     probe = _probe_fn()
-    x0 = inputs[0]
-    int_salt = jnp.issubdtype(jnp.asarray(x0).dtype, jnp.integer)
 
     def first(out):
         return out[0] if isinstance(out, tuple) else out
 
-    if int_salt:
-        dt = jnp.asarray(x0).dtype
-
-        @jax.jit
-        def call(x, s):
-            return first(fn(jnp.bitwise_xor(x, s)))
-
-        def make_salt(i: int):
-            return jnp.asarray(i % 125 + 1, dt)
-    else:  # float inputs: add a tiny distinct offset instead
-
-        @jax.jit
-        def call(x, s):
-            return first(fn(x + s))
-
-        def make_salt(i: int):
-            return jnp.asarray((i % 125 + 1) * 1e-6, jnp.asarray(x0).dtype)
+    @jax.jit
+    def call(x, s):
+        out = first(fn(x))
+        return out + jnp.minimum(s, 0).astype(out.dtype)
 
     salt_counter = [0]
 
     def next_salt():
         salt_counter[0] += 1
-        return make_salt(salt_counter[0])
+        return jnp.asarray(salt_counter[0] % 1_000_000 + 1, jnp.int32)
 
     # warm: compile the salted wrapper and probe, materialize inputs
     for x in inputs:
         float(probe(x))
-    float(probe(call(x0, next_salt())))
+    float(probe(call(inputs[0], next_salt())))
 
     def run(k: int) -> float:
         salts = [next_salt() for _ in range(k)]  # staged pre-timing
@@ -115,32 +103,34 @@ def measure_host_call(
     inputs: Sequence,
     k_small: int = 3,
     k_large: int = 12,
-    repeats: int = 3,
+    warm: int = 2,
+    repeats: int = 1,
 ) -> float:
     """Slope timing for HOST-DRIVEN decode paths (e.g. the two-phase
     compaction decoder), which cannot be wrapped in jit.
 
-    Dedup-proofing here is structural: ``len(inputs)`` must be >=
-    ``k_large`` and no input is ever passed twice within a run, so the
-    device never sees a repeated (executable, operands) pair for the
-    expensive phase-1 call.  (Across repeats the same pairs DO recur; the
-    min-over-repeats then reflects any relay caching, so prefer repeats=1
-    on relay backends if that matters — phase-2 tail batches differ run to
-    run anyway, keeping the dominant work un-replayable.)
+    Dedup-proofing here is structural: the warm-up, the k_small run and
+    the k_large run consume pairwise-DISJOINT slices of ``inputs``, so
+    within one measurement (repeats=1, the default) the device never
+    sees a repeated (executable, operands) pair.  ``repeats > 1`` reuses
+    the same slices and is only sound on directly-attached backends
+    where no execution dedup exists.
     """
-    assert len(inputs) >= k_large, "need k_large distinct inputs"
+    need = warm + k_small + k_large
+    assert len(inputs) >= need, f"need {need} distinct inputs, got {len(inputs)}"
+    ofs_small, ofs_large = warm, warm + k_small
 
-    def run(k: int) -> float:
+    def run(k: int, ofs: int) -> float:
         t0 = time.perf_counter()
         out = None
         for i in range(k):
-            out = fn(inputs[i])
+            out = fn(inputs[ofs + i])
         jax.block_until_ready(jnp.asarray(out[0]).sum())
         return time.perf_counter() - t0
 
-    run(2)  # warm
-    t_small = min(run(k_small) for _ in range(repeats))
-    t_large = min(run(k_large) for _ in range(repeats))
+    run(warm, 0)
+    t_small = min(run(k_small, ofs_small) for _ in range(repeats))
+    t_large = min(run(k_large, ofs_large) for _ in range(repeats))
     return max((t_large - t_small) / (k_large - k_small), 1e-9)
 
 

@@ -16,13 +16,19 @@ The TPU answer exploits the batch instead:
   overlappable with the next batch's dispatch) and re-decodes ONLY the
   unconverged frames at the full iteration budget.
 
-Because fixed-point layered decoding is deterministic, re-decoding an
-unconverged frame from scratch at ``iters`` gives exactly the bits a
-per-frame early-terminating decoder would produce, and frames converged
-at ``k1`` are exactly ET's early exits: the output is bit-identical to
-per-frame EARLY_TERM semantics, but the expensive deep decode runs on the
-few-percent tail instead of the whole batch.  Effective cost per frame
-approaches ``k1 + FER(k1) * iters`` instead of ``max_frame(iters_used)``.
+Output semantics, precisely: frames whose syndrome is satisfied at
+``k1`` return their ``k1``-depth bits — exactly a per-frame EARLY_TERM
+exit (decoding is deterministic, and the in-kernel ET freeze likewise
+stops them there when ``k1`` ≥ their convergence point).  Frames still
+unconverged at ``k1`` are re-decoded at the full fixed budget; that
+matches a per-frame-ET decoder whenever the hard decisions are stable
+between the frame's first convergence and the budget — the typical case,
+but NOT a structural guarantee (layered min-sum keeps updating APP after
+the syndrome clears, and a post-convergence flip would make the two
+differ; such a frame would usually re-enter the unconverged set anyway).
+The expensive deep decode runs on the few-percent tail instead of the
+whole batch: effective cost per frame approaches ``k1 + FER(k1) * iters``
+instead of ``max_frame(iters_used)``.
 """
 
 from __future__ import annotations

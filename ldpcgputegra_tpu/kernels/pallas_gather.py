@@ -61,7 +61,10 @@ def _plan(code: LdpcCode, spec: LayeredSpec):
         assert lay.qc is None or lay.qc.mask_edge is None
         bases.append(base)
         base += lay.idx.size
-        base = (base + 3) & ~3  # 4 edge rows * 8 sublanes = 32: tile align
+        # 4-edge-row alignment: 32 message rows at sub=8 (exact (32,128)
+        # int8 tile), 16 at sub=4 (half-tile offsets; lowering covered by
+        # tests/test_tpu_lowering.py::test_gather_kernel_lowers_sublane4)
+        base = (base + 3) & ~3
     return layers, bases, base
 
 
@@ -72,10 +75,18 @@ def gather_supported(code: LdpcCode, spec: LayeredSpec) -> bool:
 def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
                       sub: int = _SUB_DEFAULT) -> int:
     """Working set per tile: int32 APP + int8 messages + in/out int8
-    tiles (double-buffered) + slab temporaries."""
+    tiles (double-buffered) + the peak live [G, sub, 128] int32
+    temporaries of one layer_pass.  The temporary count follows the
+    kernel's dataflow: contribs/mags/sgns (3 per edge) live across the
+    whole update loop, plus slabs/msgs (2 more per edge) when early
+    termination keeps them for the freeze-merge, plus ~8 slab-sized
+    scalars (min1/min2/f1/f2/parity + transients)."""
     tb = sub * _LANE
     layers, _, msg_rows = _plan(code, spec)
-    slab = max(l.idx.size for l in layers) * tb * 4 * 3
+    deg = max(l.idx.shape[1] for l in layers)
+    max_g = max(l.idx.shape[0] for l in layers)
+    n_slabs = (5 * deg + 8) if spec.early_term else (3 * deg + 8)
+    slab = max_g * tb * 4 * n_slabs
     return 4 * code.N * tb + msg_rows * tb + 4 * code.N * tb + slab
 
 
@@ -251,8 +262,10 @@ def make_gather_decoder(
                 pltpu.SMEM((1,), jnp.int32),  # this tile's iteration count
             ],
             compiler_params=pltpu.CompilerParams(
+                # the estimate now counts peak live temporaries itself, so
+                # a 1.2x + flat margin suffices
                 vmem_limit_bytes=min(
-                    int(gather_vmem_bytes(code, spec, _SUB) * 1.4)
+                    int(gather_vmem_bytes(code, spec, _SUB) * 1.2)
                     + (4 << 20),
                     120 << 20,
                 ),

@@ -49,14 +49,17 @@ _CT = jnp.int16
 _ST = jnp.int8
 
 
-def rowshard_supported(code: LdpcCode, n_devices: int) -> bool:
-    """All layers must be QC block-rows with Z divisible by the mesh."""
+def rowshard_supported(
+    code: LdpcCode, n_devices: int, schedule: str = "auto"
+) -> bool:
+    """All layers of the requested schedule must be QC block-rows with Z
+    divisible by the mesh."""
     from ..decoder import effective_code
 
     code = effective_code(code)
     if code.Z is None or code.Z % n_devices:
         return False
-    return all(l.qc is not None for l in build_layers(code, "auto"))
+    return all(l.qc is not None for l in build_layers(code, schedule))
 
 
 def _slice_rows(arr, r0, zd):
@@ -152,8 +155,13 @@ def make_rowsharded_decoder(
 
     code = effective_code(code)
     D = int(np.prod(list(mesh.shape.values())))
-    assert rowshard_supported(code, D), f"{code.name}: not row-shardable"
-    layers = tuple(build_layers(code, "auto"))
+    # layer order must match make_layered_decoder's for the same spec —
+    # fixed-point layered min-sum is schedule-order-sensitive, so the
+    # bit-exactness contract depends on honoring spec.schedule here
+    assert rowshard_supported(code, D, spec.schedule), (
+        f"{code.name}: not row-shardable under schedule {spec.schedule!r}"
+    )
+    layers = tuple(build_layers(code, spec.schedule))
     Z = code.Z
     Nb = code.N // Z
     zd = Z // D

@@ -54,13 +54,22 @@ def test_refcheck_vectors_exist():
     assert set(_CODES) >= {"576x288", "1944x972"}
 
 
-@pytest.mark.skipif(
-    not reference_available(), reason="/root/reference not present"
-)
+def _code_from_npz(d, name):
+    """Rebuild the ARM-header code from the structure embedded in the npz,
+    so this check is self-contained (runs without /root/reference)."""
+    from ldpcgputegra_tpu.codes.code import LdpcCode
+
+    classes = list(zip(d["class_degs"].tolist(), d["class_counts"].tolist()))
+    return LdpcCode.from_edges(
+        f"arm-{name}", int(d["code_N"]), None, classes, d["edges"],
+        detect_qc=False,
+    )
+
+
 @pytest.mark.parametrize("name", _CODES)
 def test_golden_matches_reference_vectors(name):
     d = np.load(os.path.join(VEC_DIR, f"refcheck_{name}.npz"))
-    code = parse_arm_code(name)
+    code = _code_from_npz(d, name)
     llr = d["llr"]
     for ci, cfg in enumerate(d["configs"]):
         ref = d[f"bits_{ci}"]
@@ -85,6 +94,12 @@ def test_committed_vectors_are_authentic(tmp_path):
 
     name = "576x288"
     d = np.load(os.path.join(VEC_DIR, f"refcheck_{name}.npz"))
+    # the embedded code structure must equal the ARM header's
+    ref_code = parse_arm_code(name)
+    emb_code = _code_from_npz(d, name)
+    assert emb_code.N == ref_code.N
+    for a, b in zip(emb_code.class_idx, ref_code.class_idx):
+        np.testing.assert_array_equal(a, b)
     binary = build_oracle(name, str(tmp_path))
     cfg = d["configs"][2]  # iters=10 off=1 et=0 full-range
     ref = run_oracle(

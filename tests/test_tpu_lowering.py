@@ -36,6 +36,20 @@ def test_gather_kernel_lowers_multitile():
     _export(dec, 2048, code.N)  # 2 tiles of 1024
 
 
+def test_gather_kernel_lowers_sublane4():
+    """The half-VREG (sublanes=4) tile that 8000x4000/9972x4986 auto-select:
+    message-base alignment gives only 16-row offsets for the (32,128)-tiled
+    int8 message ref, exactly the layout class Mosaic rejects when it
+    can't — must lower, with and without early termination."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    for et in (False, True):
+        dec = make_gather_decoder(
+            code, LayeredSpec(algo="OMS", iters=3, early_term=et),
+            sublanes=4,
+        )
+        _export(dec, 1024, code.N)  # 2 tiles of 512
+
+
 def test_qc_kernel_lowers_odd_Z():
     """Z=81 (802.11n 1944x972): sublane dim neither 8-divisible nor padded;
     must still lower (full-dimension block)."""

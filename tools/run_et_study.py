@@ -85,7 +85,8 @@ def study_one(name, batch, snr, algo, quick):
 
     k1 = 5
     tp = make_twophase_decoder(code, spec10, k1=k1)
-    tp_inputs = noisy_inputs(code, batch, snr, kl, seed0=1000)
+    # disjoint warm/small/large slices (see measure_host_call): 2+ks+kl
+    tp_inputs = noisy_inputs(code, batch, snr, 2 + ks + kl, seed0=1000)
     sec = measure_host_call(tp, tp_inputs, k_small=ks, k_large=kl,
                             repeats=1)
     _, stats = tp(np.asarray(tp_inputs[0]))
@@ -103,6 +104,11 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="benchmarks/ET.md")
     args = ap.parse_args()
+    from ldpcgputegra_tpu.utils import device_available
+
+    if not device_available():
+        print("(EE) backend unavailable (TPU relay down); aborting")
+        return
     enable_compile_cache()
     recs = []
     for name, batch, snrs in CONFIGS:
@@ -124,6 +130,10 @@ def main():
                     f"(eff iters {r['rows']['twophase_k5']['eff_iters_per_frame']:.1f})",
                     flush=True,
                 )
+    if not recs:
+        print("(EE) no configuration succeeded; leaving existing output "
+              "untouched")
+        return
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# Early-termination operating-point study\n\n")
@@ -131,7 +141,8 @@ def main():
             "Reference production config: 2NMS + EARLY_TERM "
             "(`CUDA_2NMS_SIMD.cu:17`).  `kernel ET` = per-lane freeze + "
             "whole-tile iteration predication; `twophase` = compaction ET "
-            "(`decoder/twophase.py`, bit-identical to per-frame ET).\n\n"
+            "(`decoder/twophase.py`; frames converged by k1 are frozen "
+            "exactly, late-converging frames run the full budget).\n\n"
         )
         f.write("| code | algo | SNR | P(conv<=5) | fixed10 Mbps | "
                 "kernel-ET Mbps (iters) | twophase Mbps (eff iters) |\n")
