@@ -39,6 +39,9 @@ from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
 STREAMED = [("16200x7560", 1024), ("64800x32400", 256)]
 GATHER = [("4000x2000", 4096), ("8000x4000", 2048), ("9972x4986", 2048)]
+# QC roll kernel vs the XLA reference path ON HARDWARE (interpret-mode
+# bit-exactness is already CPU-tested; this pins the Mosaic compilation)
+QC = [("576x288", 4096), ("1944x972", 2048), ("2304x1152", 2048)]
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "HWVALIDATE.md")
 
@@ -93,7 +96,7 @@ def compare_pair(name, batch, back_a, back_b, quick, spec=None):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", default="streamed,gather")
+    ap.add_argument("--which", default="qc,streamed,gather")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     from ldpcgputegra_tpu.utils import device_available
@@ -105,6 +108,9 @@ def main() -> None:
     which = set(args.which.split(","))
 
     all_rows = []
+    if "qc" in which:
+        for name, batch in QC:
+            all_rows += compare_pair(name, batch, "pallas", "xla", args.quick)
     if "streamed" in which:
         for name, batch in STREAMED:
             all_rows += compare_pair(name, batch, "pallas", "pallas-streamed", args.quick)

@@ -48,18 +48,28 @@ OUT = os.path.join(
 )
 
 
-def roll_microkernel(Z: int, TB: int = 256, n_rolls: int = 512):
+def roll_microkernel(Z: int, TB: int = 256, n_rolls: int = 512,
+                     impl: str = "roll"):
     """Time ``n_rolls`` dependent sublane rolls of one [Z, TB] int32 slab.
 
     Shifts walk 1..Z-1 (never 0) so every roll is a genuine rotate; the
     chain is data-dependent so Mosaic cannot elide any of them.
+
+    ``impl='roll'`` uses ``pltpu.roll``; ``impl='slice'`` expresses the
+    same rotate as a concat of two static slices — the candidate
+    replacement if Mosaic's roll takes a slow path for Z % 8 != 0.
     """
     shifts = [(7 * k) % Z or 1 for k in range(1, n_rolls + 1)]
+
+    def rot(x, s):
+        if impl == "roll":
+            return pltpu.roll(x, s, axis=0)
+        return jnp.concatenate([x[Z - s:], x[: Z - s]], axis=0)
 
     def kernel(x_ref, o_ref):
         x = x_ref[...]
         for s in shifts:
-            x = pltpu.roll(x, s, axis=0) + 1
+            x = rot(x, s) + 1
         o_ref[...] = x
 
     @jax.jit
@@ -119,15 +129,17 @@ def main() -> None:
     lines = ["# 1944x972 efficiency investigation\n\n"]
 
     lines.append("## Roll microbenchmark (ns per [Z,256] int32 sublane roll)\n\n")
-    lines.append("| Z | 8-aligned | ns/roll |\n|---|---|---|\n")
-    base = None
+    lines.append("| Z | 8-aligned | pltpu.roll ns | slice-concat ns |\n")
+    lines.append("|---|---|---|---|\n")
     for Z in (24, 81, 88, 96):
-        sec = roll_microkernel(Z)
-        ns = sec * 1e9
-        if Z == 96:
-            base = ns
-        print(f"(PERF) roll Z={Z}: {ns:.2f} ns", flush=True)
-        lines.append(f"| {Z} | {'yes' if Z % 8 == 0 else 'NO'} | {ns:.2f} |\n")
+        ns_roll = roll_microkernel(Z, impl="roll") * 1e9
+        ns_slice = roll_microkernel(Z, impl="slice") * 1e9
+        print(f"(PERF) Z={Z}: roll {ns_roll:.2f} ns, slice {ns_slice:.2f} ns",
+              flush=True)
+        lines.append(
+            f"| {Z} | {'yes' if Z % 8 == 0 else 'NO'} "
+            f"| {ns_roll:.2f} | {ns_slice:.2f} |\n"
+        )
 
     lines.append("\n## Full decode, per-edge time (10 iters, OMS)\n\n")
     lines.append("| code | backend | ms/call | Mbps | ps/edge/iter/frame |\n")
