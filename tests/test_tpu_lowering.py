@@ -13,6 +13,7 @@ import pytest
 from ldpcgputegra_tpu.codes.registry import load_code, make_random_regular_code
 from ldpcgputegra_tpu.kernels.pallas_gather import make_gather_decoder
 from ldpcgputegra_tpu.kernels.pallas_layered import make_pallas_decoder
+from ldpcgputegra_tpu.kernels.pallas_streamed import make_streamed_decoder
 from ldpcgputegra_tpu.ops.layered import LayeredSpec
 
 
@@ -34,6 +35,19 @@ def test_gather_kernel_lowers_multitile():
     code = make_random_regular_code(512, 256, 8, seed=5)
     dec = make_gather_decoder(code, LayeredSpec(algo="OMS", iters=3))
     _export(dec, 2048, code.N)  # 2 tiles of 1024
+
+
+@pytest.mark.parametrize("early_term", [False, True])
+def test_streamed_kernel_lowers_multitile(early_term):
+    """The HBM-streamed kernel (DMA slot pipeline) has only ever compiled
+    under the interpreter; pin its Mosaic lowering before the first
+    hardware run (VERDICT item 7)."""
+    code = load_code("576x288")
+    dec = make_streamed_decoder(
+        code, LayeredSpec(algo="OMS", iters=2, early_term=early_term),
+        batch_tile=128,
+    )
+    _export(dec, 256, code.N)  # 2 tiles of 128
 
 
 def test_gather_kernel_lowers_sublane4():
