@@ -35,6 +35,9 @@ CONFIGS = [
     ("9972x4986", 2048, None),
     ("16200x7560", 1024, None),
     ("64800x32400", 512, None),
+    # rate 2/3: the sub-pass-split schedule (repeated block-columns) —
+    # measures the corrected schedule's ~10% extra layer passes
+    ("64800x21600", 512, None),
 ]
 
 
