@@ -99,7 +99,12 @@ def main() -> None:
     ap.add_argument("--which", default="qc,streamed,gather")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
-    from ldpcgputegra_tpu.utils import device_available
+    from ldpcgputegra_tpu.utils import (
+        apply_platform_env,
+        device_available,
+    )
+
+    apply_platform_env()
 
     if not device_available():
         print("(EE) backend unavailable (TPU relay down); aborting")

@@ -119,7 +119,12 @@ def main() -> None:
     ap.add_argument("--trace", action="store_true",
                     help="also capture a jax.profiler trace of one decode")
     args = ap.parse_args()
-    from ldpcgputegra_tpu.utils import device_available
+    from ldpcgputegra_tpu.utils import (
+        apply_platform_env,
+        device_available,
+    )
+
+    apply_platform_env()
 
     if not device_available():
         print("(EE) backend unavailable (TPU relay down); aborting")

@@ -24,7 +24,12 @@ from run_ber_curves import DATA_DIR, write_md  # noqa: E402
 
 
 def main() -> None:
-    from ldpcgputegra_tpu.utils import device_available
+    from ldpcgputegra_tpu.utils import (
+        apply_platform_env,
+        device_available,
+    )
+
+    apply_platform_env()
 
     if not device_available():
         print("(EE) backend unavailable (TPU relay down); aborting")

@@ -138,8 +138,12 @@ def main() -> None:
 
     os.makedirs(DATA_DIR, exist_ok=True)
     if not args.md_only:
-        from ldpcgputegra_tpu.utils import device_available
+        from ldpcgputegra_tpu.utils import (
+            apply_platform_env,
+            device_available,
+        )
 
+        apply_platform_env()
         if not device_available():
             print("(EE) backend unavailable (TPU relay down); aborting")
             return

@@ -102,17 +102,31 @@ def study_one(name, batch, snr, algo, quick):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="one tiny config (tool smoke test, any backend); "
+                    "does not overwrite the default output")
     ap.add_argument("--out", default="benchmarks/ET.md")
     args = ap.parse_args()
-    from ldpcgputegra_tpu.utils import device_available
+    from ldpcgputegra_tpu.utils import (
+        apply_platform_env,
+        device_available,
+    )
+
+    apply_platform_env()
 
     if not device_available():
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     enable_compile_cache()
+    configs, algos = CONFIGS, ALGOS
+    if args.smoke:
+        configs, algos = [("576x288", 512, [3.0])], ["OMS"]
+        args.quick = True
+        if args.out == "benchmarks/ET.md":
+            args.out = "/tmp/ET_smoke.md"
     recs = []
-    for name, batch, snrs in CONFIGS:
-        for algo in ALGOS:
+    for name, batch, snrs in configs:
+        for algo in algos:
             for snr in snrs:
                 try:
                     r = study_one(name, batch, snr, algo, args.quick)
