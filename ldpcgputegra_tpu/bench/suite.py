@@ -25,19 +25,20 @@ from ..utils import enable_compile_cache
 from .harness import measure_call, throughput_report
 from .roofline import roofline_report
 
-# (code, batch, published 10-iter baseline Mbps [best device, 3 streams])
+# (code, batch, {iters: published baseline Mbps [best device, 3 streams]})
+# 10-iter: paper/ldpcGpuTegra.tex:337,345,353 (GTX 680); 5-iter: :338,346,354
 CONFIGS = [
-    ("576x288", 16384, 127.0),
-    ("2304x1152", 8192, 132.0),
-    ("1944x972", 8192, None),
-    ("4000x2000", 4096, 131.0),
-    ("8000x4000", 2048, None),
-    ("9972x4986", 2048, None),
-    ("16200x7560", 1024, None),
-    ("64800x32400", 512, None),
+    ("576x288", 16384, {10: 127.0, 5: 217.0}),
+    ("2304x1152", 8192, {10: 132.0, 5: 226.0}),
+    ("1944x972", 8192, {}),
+    ("4000x2000", 4096, {10: 131.0, 5: 230.0}),
+    ("8000x4000", 2048, {10: 33.0}),  # TK1 heterogeneous, tex:318
+    ("9972x4986", 2048, {}),
+    ("16200x7560", 1024, {}),
+    ("64800x32400", 512, {}),
     # rate 2/3: the sub-pass-split schedule (repeated block-columns) —
     # measures the corrected schedule's ~10% extra layer passes
-    ("64800x21600", 512, None),
+    ("64800x21600", 512, {}),
 ]
 
 
@@ -107,7 +108,7 @@ def main() -> None:
     rates = probe_rates()
 
     rows = []
-    for name, batch, base10 in CONFIGS:
+    for name, batch, baselines in CONFIGS:
         for iters in (10, 5):
             t0 = time.time()
             try:
@@ -115,9 +116,10 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"(EE) {name}@{iters}it failed: {e}")
                 continue
-            r["baseline_mbps"] = base10 if iters == 10 else None
-            if base10 and iters == 10:
-                r["vs_baseline"] = round(r["coded_mbps"] / base10, 1)
+            base = baselines.get(iters)
+            r["baseline_mbps"] = base
+            if base:
+                r["vs_baseline"] = round(r["coded_mbps"] / base, 1)
             rows.append(r)
             print(
                 f"(PERF) {name} {iters}it [{r['backend']}]: "
