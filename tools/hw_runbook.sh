@@ -11,13 +11,15 @@
 #   validate  - streamed+gather hw validation         (VERDICT items 2,7)
 #   et        - early-termination study -> ET.md      (VERDICT item 5)
 #   profile   - 1944x972 outlier investigation        (VERDICT item 8)
-#   ber       - missing BER curves (2NMS, 64800)      (VERDICT item 6)
-#   tail1944  - re-measure the 2.75 dB tail point at FE>=100
 #   bench     - the driver's one-line bench.py JSON
+#
+# BER curves are NOT here: they are backend-independent by construction
+# (bit-exact decoders, counter-based threefry channel) and run on CPU via
+# tools/cpu_ber_queue.sh — the chip is reserved for throughput work.
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p benchmarks/logs
 STEPS=("$@")
-[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe suite validate et profile ber tail1944 bench)
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe suite validate et profile bench)
 
 run() { # name timeout cmd...
   local name=$1 tmo=$2; shift 2
@@ -40,11 +42,6 @@ for s in "${STEPS[@]}"; do
       run et 7200 python tools/run_et_study.py ;;
     profile)
       run profile 3600 python tools/profile_1944.py ;;
-    ber)
-      run ber 28800 python tools/run_ber_curves.py \
-        --only 576x288_2NMS_10,64800x32400_OMS_10 ;;
-    tail1944)
-      run tail1944 14400 python tools/remeasure_tail.py ;;
     bench)
       run bench 3600 python bench.py ;;
     *) echo "unknown step $s"; exit 2 ;;

@@ -51,7 +51,8 @@ def curve_id(code: str, algo: str, iters: int) -> str:
     return f"{code}_{algo}_{iters}"
 
 
-def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames):
+def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
+              timer_s=None):
     cfg = SweepConfig(
         code=code,
         algo=algo,
@@ -62,7 +63,7 @@ def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames):
         batch=batch,
         max_fe=max_fe,
         max_frames=max_frames,
-        timer_s=90.0,
+        timer_s=timer_s,
         early_term=True,
     )
     print(f"== {code} {algo} {iters}it ==", flush=True)
@@ -143,6 +144,11 @@ def main() -> None:
     ap.add_argument("--max-fe", type=int, default=100)
     ap.add_argument("--max-frames", type=int, default=3_000_000)
     ap.add_argument(
+        "--timer-s", type=float, default=None,
+        help="per-point wall budget (default none: FE/frame limits rule; "
+        "the old hard-coded 90s truncated deep-tail points at <30 FE)",
+    )
+    ap.add_argument(
         "--md-only", action="store_true",
         help="regenerate BER.md from saved data, no decoding",
     )
@@ -167,7 +173,7 @@ def main() -> None:
                 continue
             data = run_curve(
                 code, algo, iters, lo, hi, step, batch,
-                args.max_fe, args.max_frames,
+                args.max_fe, args.max_frames, args.timer_s,
             )
             with open(os.path.join(DATA_DIR, cid + ".json"), "w") as f:
                 json.dump(data, f, indent=1)
