@@ -19,7 +19,10 @@
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p benchmarks/logs
 STEPS=("$@")
-[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe suite validate et profile bench)
+# bench runs FIRST after the probe (secures a non-stale headline figure
+# even if the relay window closes mid-runbook) and again LAST (so the
+# recorded number benefits from the suite's warm compile cache).
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe bench suite validate et profile bench)
 
 run() { # name timeout cmd...
   local name=$1 tmo=$2; shift 2

@@ -55,6 +55,21 @@ def noisy_inputs(code, batch, snr, n, seed0=0):
     ]
 
 
+def convergence_stats(code, algo, mc, inputs):
+    """P(frame converged after <= k iterations) at this operating point.
+
+    Backend-independent (decoders are bit-exact across backends), so this
+    half of the study can be measured on CPU while throughput waits for
+    chip time.
+    """
+    ok = syndrome_fn(code)
+    conv = {}
+    for k in (4, 5, 6, 10):
+        dk = make_decoder(code, LayeredSpec(algo=algo, iters=k, minclamp=mc))
+        conv[k] = float(np.asarray(ok(dk(inputs[0])[0])).mean())
+    return conv
+
+
 def study_one(name, batch, snr, algo, quick):
     code = load_code(name)
     mc = "pre" if algo == "OMS" else "post"
@@ -65,11 +80,7 @@ def study_one(name, batch, snr, algo, quick):
     inputs = noisy_inputs(code, batch, snr, n_inp)
 
     # convergence stats at this SNR (per-frame syndrome after k iters)
-    ok = syndrome_fn(code)
-    conv = {}
-    for k in (4, 5, 6, 10):
-        dk = make_decoder(code, LayeredSpec(algo=algo, iters=k, minclamp=mc))
-        conv[k] = float(np.asarray(ok(dk(inputs[0])[0])).mean())
+    conv = convergence_stats(code, algo, mc, inputs)
 
     rows = {}
     d_fix = make_decoder(code, spec10)
@@ -99,12 +110,64 @@ def study_one(name, batch, snr, algo, quick):
     }
 
 
+def conv_only(out):
+    """Measure and write ONLY the convergence statistics (CPU-feasible);
+    ET throughput stays pending the chip (tools/hw_runbook.sh et)."""
+    import jax
+
+    recs = []
+    for name, batch, snrs in CONFIGS:
+        code = load_code(name)
+        for algo in ALGOS:
+            mc = "pre" if algo == "OMS" else "post"
+            for snr in snrs:
+                inputs = noisy_inputs(code, batch, snr, 1)
+                conv = convergence_stats(code, algo, mc, inputs)
+                recs.append({
+                    "code": name, "algo": algo, "snr_db": snr,
+                    "batch": batch, "frac_converged": conv,
+                    "backend": jax.default_backend(),
+                })
+                print(f"(II) {name} {algo} @{snr} dB: "
+                      + " ".join(f"P(<={k})={v:.3f}"
+                                 for k, v in conv.items()), flush=True)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("# Early-termination convergence statistics\n\n")
+        f.write(
+            "Fraction of frames whose syndrome clears within k layered "
+            "iterations at each operating SNR (batch per cell as listed; "
+            "backend-independent — decoders are bit-exact across "
+            "backends — so these CPU-measured numbers are exactly the "
+            "chip's).  They bound the achievable early-termination "
+            "speedup: mean iters >= sum_k k*P(conv=k), and the in-kernel "
+            "whole-tile predication only helps once EVERY lane in a tile "
+            "has converged.  Throughput at these operating points is "
+            "measured on hardware (tools/hw_runbook.sh et -> ET.md).\n\n"
+        )
+        f.write("| code | algo | SNR (dB) | P(<=4) | P(<=5) | P(<=6) "
+                "| P(<=10) |\n|---|---|---|---|---|---|---|\n")
+        for r in recs:
+            c = r["frac_converged"]
+            f.write(f"| {r['code']} | {r['algo']} | {r['snr_db']} "
+                    f"| {c[4]:.3f} | {c[5]:.3f} | {c[6]:.3f} "
+                    f"| {c[10]:.3f} |\n")
+        f.write("\nRaw records:\n\n```json\n")
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+        f.write("```\n")
+    print(f"(II) wrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="one tiny config (tool smoke test, any backend); "
                     "does not overwrite the default output")
+    ap.add_argument("--conv-only", action="store_true",
+                    help="measure only the (backend-independent) "
+                    "convergence fractions -> benchmarks/ET_convergence.md")
     ap.add_argument("--out", default="benchmarks/ET.md")
     args = ap.parse_args()
     from ldpcgputegra_tpu.utils import (
@@ -118,6 +181,12 @@ def main():
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     enable_compile_cache()
+    if args.conv_only:
+        out = args.out
+        if out == "benchmarks/ET.md":
+            out = "benchmarks/ET_convergence.md"
+        conv_only(out)
+        return
     configs, algos = CONFIGS, ALGOS
     if args.smoke:
         configs, algos = [("576x288", 512, [3.0])], ["OMS"]
