@@ -40,7 +40,14 @@ CURVES = [
     ("576x288", "OMS", 10, 0.5, 3.5, 0.5, 16384),
     ("2304x1152", "NMS", 10, 0.5, 2.5, 0.25, 8192),
     ("576x288", "2NMS", 10, 1.0, 3.5, 0.5, 16384),
-    ("64800x32400", "OMS", 10, 0.5, 1.5, 0.25, 512),
+    # range probed on CPU: at 10 iters the waterfall spans ~1.4-2.1 dB
+    # (FER 1.0 at 1.25, 0.6 at 1.5, 0.04 at 1.75, 1e-3 at 2.0); fine
+    # 0.125 dB steps resolve the steep long-code cliff
+    ("64800x32400", "OMS", 10, 1.0, 2.0, 0.125, 512),
+    # the paper's headline unstructured code (`paper/ldpcGpuTegra.tex:349`);
+    # exercises the non-QC gather path end-to-end statistically.  Range
+    # probed on CPU: FER 1.0 at 1.0 dB, 0.53 at 1.5, 3.4e-3 at 2.0
+    ("4000x2000", "OMS", 10, 1.0, 2.5, 0.25, 4096),
 ]
 
 BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
