@@ -31,6 +31,26 @@ from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 from run_ber_curves import DATA_DIR, write_md  # noqa: E402
 
 
+def merge_point(points: list[dict], rec: dict) -> bool:
+    """Merge ``rec`` into the curve's point list, in place.
+
+    A point at the same SNR is replaced only if ``rec`` saw at least as
+    many frame errors (ties broken by frame count) — a truncated or
+    interrupted re-run can never regress saved statistics.  Returns True
+    if ``rec`` was inserted/replaced, False if the old point won.
+    """
+    for i, old in enumerate(points):
+        if abs(old["snr_db"] - rec["snr_db"]) < 1e-9:
+            if (rec["fe"], rec["frames"]) >= (old["fe"], old["frames"]):
+                points[i] = rec
+                points.sort(key=lambda r: r["snr_db"])
+                return True
+            return False
+    points.append(rec)
+    points.sort(key=lambda r: r["snr_db"])
+    return True
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--curve", required=True,
@@ -84,20 +104,9 @@ def main() -> None:
             "be": p.be,
             "backend": backend,
         }
-        replaced = False
-        for i, old in enumerate(data["points"]):
-            if abs(old["snr_db"] - p.snr_db) < 1e-9:
-                # never regress: keep whichever measurement saw more
-                # frame errors (ties broken by frame count)
-                if (rec["fe"], rec["frames"]) >= (old["fe"], old["frames"]):
-                    data["points"][i] = rec
-                else:
-                    print(f"(WW) keeping old point at {p.snr_db} dB "
-                          f"(old fe={old['fe']} > new fe={rec['fe']})")
-                replaced = True
-        if not replaced:
-            data["points"].append(rec)
-        data["points"].sort(key=lambda r: r["snr_db"])
+        if not merge_point(data["points"], rec):
+            print(f"(WW) keeping old point at {p.snr_db} dB "
+                  f"(it saw more frame errors than this re-run)")
         with open(path, "w") as f:  # checkpoint after every point
             json.dump(data, f, indent=1)
         print(f"(II) {p.snr_db} dB: BER {p.ber:.3e} on {p.fe} FE "
