@@ -44,6 +44,10 @@ CURVES = [
     # (FER 1.0 at 1.25, 0.6 at 1.5, 0.04 at 1.75, 1e-3 at 2.0); fine
     # 0.125 dB steps resolve the steep long-code cliff
     ("64800x32400", "OMS", 10, 1.0, 2.0, 0.125, 512),
+    # rate 2/3 DVB-S2: statistical validation of the sub-pass-split
+    # schedule (repeated block-columns).  CPU probe: FER 1.0 at 2.0 dB,
+    # 0.39 at 2.25, 2e-3 at 2.5
+    ("64800x21600", "OMS", 10, 1.75, 2.625, 0.125, 512),
     # the paper's headline unstructured code (`paper/ldpcGpuTegra.tex:349`);
     # exercises the non-QC gather path end-to-end statistically.  Range
     # probed on CPU: FER 1.0 at 1.0 dB, 0.53 at 1.5, 3.4e-3 at 2.0
