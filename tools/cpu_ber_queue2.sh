@@ -1,0 +1,26 @@
+#!/bin/bash
+# Second-wave CPU BER queue (runs after tools/cpu_ber_queue.sh):
+#   1. 4000x2000 OMS curve      — the paper's headline unstructured code
+#   2. 64800x21600 OMS curve    — rate-2/3 sub-pass-split schedule
+#   3. 2304x1152 NMS 2.75 dB    — extend the NMS curve one decade deeper
+cd "$(dirname "$0")/.." || exit 1
+mkdir -p benchmarks/logs
+export JAX_PLATFORMS=cpu
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+run() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "== $name ($(date +%H:%M:%S)) =="
+  timeout "$tmo" "$@" >"benchmarks/logs/$name.log" 2>&1
+  local rc=$?
+  echo "== $name done rc=$rc ($(date +%H:%M:%S)) =="
+}
+
+run ber4000 14400 python tools/run_ber_curves.py \
+  --only 4000x2000_OMS_10 --max-frames 10000000
+run ber21600 21600 python tools/run_ber_curves.py \
+  --only 64800x21600_OMS_10 --max-frames 2000000 --timer-s 7200
+run topup_2304 7200 python tools/topup_points.py \
+  --curve 2304x1152_NMS_10 --snr 2.75 \
+  --max-fe 100 --max-frames 20000000 --batch 8192
+echo "== queue2 complete =="
