@@ -23,4 +23,7 @@ run ber21600 21600 python tools/run_ber_curves.py \
 run topup_2304 7200 python tools/topup_points.py \
   --curve 2304x1152_NMS_10 --snr 2.75 \
   --max-fe 100 --max-frames 20000000 --batch 8192
+run topup_64800 14400 python tools/topup_points.py \
+  --curve 64800x32400_OMS_10 --snr 1.875 --snr 2.0 \
+  --max-fe 100 --max-frames 1000000 --batch 512
 echo "== queue2 complete =="
