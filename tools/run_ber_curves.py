@@ -64,6 +64,11 @@ def curve_id(code: str, algo: str, iters: int) -> str:
 
 def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
               timer_s=None):
+    # Per-curve sweep checkpoint: multi-hour deep-tail curves survive a
+    # kill/timeout and resume mid-point (sweep.py persists per-point
+    # counters + the PRNG fold state after every batch window).  Deleted
+    # once the curve lands in <id>.json.
+    ckpt_path = os.path.join(DATA_DIR, "ckpt_" + curve_id(code, algo, iters) + ".json")
     cfg = SweepConfig(
         code=code,
         algo=algo,
@@ -76,9 +81,12 @@ def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
         max_frames=max_frames,
         timer_s=timer_s,
         early_term=True,
+        checkpoint=ckpt_path,
     )
     print(f"== {code} {algo} {iters}it ==", flush=True)
     res = run_sweep(cfg, progress=True)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     import jax
 
     return {
