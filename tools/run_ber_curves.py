@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from ldpcgputegra_tpu.sim.sweep import SweepConfig, run_sweep  # noqa: E402
 from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
-# (code, algo, iters, snr_min, snr_max, snr_step, batch)
+# (code, algo, iters, snr_min, snr_max, snr_step, batch[, extra])
+# extra: optional dict of additional SweepConfig fields; its "tag" key (if
+# any) suffixes the curve id and the BER.md section title instead.
 CURVES = [
     ("1944x972", "OMS", 10, 0.5, 2.75, 0.25, 8192),
     ("576x288", "OMS", 10, 0.5, 3.5, 0.5, 16384),
@@ -52,23 +54,39 @@ CURVES = [
     # exercises the non-QC gather path end-to-end statistically.  Range
     # probed on CPU: FER 1.0 at 1.0 dB, 0.53 at 1.5, 3.4e-3 at 2.0
     ("4000x2000", "OMS", 10, 1.0, 2.5, 0.25, 4096),
+    # 10GBASE-T-like rate-13/16 code: the registry's highest CN degree
+    # (32) — statistical end-to-end validation of the high-degree CN
+    # machinery (bit-exactness alone can't show the waterfall is right).
+    # CPU probe: FER 0.62 at 3.5 dB, 2.4e-2 at 4.0, <1e-4 at 4.5
+    ("2048x384", "OMS", 10, 3.25, 4.5, 0.25, 2048),
+    # Rayleigh-fading channel (the reference parses -Rayleigh_Fading but
+    # ships no implementation — `code/ldpc_decoder_arm/main.cpp:254-261`;
+    # this framework has a real one, channel/awgn.py).  Perfect-CSI flat
+    # fading.  CPU probe: FER 0.44 at 4 dB, 7.8e-3 at 6, <1e-4 at 8
+    ("576x288", "OMS", 10, 3.0, 7.0, 0.5, 8192,
+     {"fading": "rayleigh", "tag": "rayleigh"}),
 ]
 
 BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
 DATA_DIR = os.path.join(BENCH_DIR, "ber_data")
 
 
-def curve_id(code: str, algo: str, iters: int) -> str:
-    return f"{code}_{algo}_{iters}"
+def curve_id(code: str, algo: str, iters: int, tag: str = "") -> str:
+    base = f"{code}_{algo}_{iters}"
+    return base + ("_" + tag if tag else "")
 
 
 def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
-              timer_s=None):
+              timer_s=None, extra=None):
+    extra = dict(extra or {})
+    tag = extra.pop("tag", "")
     # Per-curve sweep checkpoint: multi-hour deep-tail curves survive a
     # kill/timeout and resume mid-point (sweep.py persists per-point
     # counters + the PRNG fold state after every batch window).  Deleted
     # once the curve lands in <id>.json.
-    ckpt_path = os.path.join(DATA_DIR, "ckpt_" + curve_id(code, algo, iters) + ".json")
+    ckpt_path = os.path.join(
+        DATA_DIR, "ckpt_" + curve_id(code, algo, iters, tag) + ".json"
+    )
     cfg = SweepConfig(
         code=code,
         algo=algo,
@@ -82,6 +100,7 @@ def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
         timer_s=timer_s,
         early_term=True,
         checkpoint=ckpt_path,
+        **extra,
     )
     print(f"== {code} {algo} {iters}it ==", flush=True)
     res = run_sweep(cfg, progress=True)
@@ -93,6 +112,7 @@ def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
         "code": code,
         "algo": algo,
         "iters": iters,
+        "tag": tag,
         # curves are backend-independent by construction (decoders are
         # bit-exact across backends; the channel is counter-based
         # threefry, deterministic per platform-independent spec) — the
@@ -131,16 +151,27 @@ def write_md() -> str:
     curves = []
     if os.path.isdir(DATA_DIR):
         for fn in sorted(os.listdir(DATA_DIR)):
-            if fn.endswith(".json"):
+            if fn.endswith(".json") and not fn.startswith("ckpt_"):
                 with open(os.path.join(DATA_DIR, fn)) as f:
                     curves.append(json.load(f))
     # keep the CURVES declaration order for known ids
-    order = {curve_id(c, a, i): k for k, (c, a, i, *_rest) in enumerate(CURVES)}
-    curves.sort(key=lambda d: order.get(curve_id(d["code"], d["algo"], d["iters"]), 99))
-    for cur in curves:
-        lines.append(
-            f"\n## {cur['code']} — {cur['algo']}, {cur['iters']} iterations\n\n"
+    order = {}
+    for k, ent in enumerate(CURVES):
+        c, a, i = ent[0], ent[1], ent[2]
+        tag = ent[7].get("tag", "") if len(ent) > 7 else ""
+        order[curve_id(c, a, i, tag)] = k
+    curves.sort(
+        key=lambda d: order.get(
+            curve_id(d["code"], d["algo"], d["iters"], d.get("tag", "")), 99
         )
+    )
+    for cur in curves:
+        title = f"{cur['code']} — {cur['algo']}, {cur['iters']} iterations"
+        if cur.get("tag") == "rayleigh":
+            title += ", Rayleigh fading (perfect CSI)"
+        elif cur.get("tag"):
+            title += f", {cur['tag']}"
+        lines.append(f"\n## {title}\n\n")
         lines.append("| Eb/N0 (dB) | BER | FER | frames | FE |\n")
         lines.append("|---|---|---|---|---|\n")
         for p in cur["points"]:
@@ -186,13 +217,15 @@ def main() -> None:
             return
         enable_compile_cache()
         only = {s for s in args.only.split(",") if s}
-        for code, algo, iters, lo, hi, step, batch in CURVES:
-            cid = curve_id(code, algo, iters)
+        for ent in CURVES:
+            code, algo, iters, lo, hi, step, batch = ent[:7]
+            extra = ent[7] if len(ent) > 7 else {}
+            cid = curve_id(code, algo, iters, extra.get("tag", ""))
             if only and cid not in only:
                 continue
             data = run_curve(
                 code, algo, iters, lo, hi, step, batch,
-                args.max_fe, args.max_frames, args.timer_s,
+                args.max_fe, args.max_frames, args.timer_s, extra=extra,
             )
             with open(os.path.join(DATA_DIR, cid + ".json"), "w") as f:
                 json.dump(data, f, indent=1)
