@@ -8,9 +8,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["decode_mesh", "initialize_distributed", "local_batch_size"]
+__all__ = [
+    "decode_mesh",
+    "decode_mesh_2d",
+    "initialize_distributed",
+    "local_batch_size",
+]
 
 BATCH_AXIS = "dp"
+TP_AXIS = "tp"
 
 
 def decode_mesh(
@@ -28,6 +34,27 @@ def decode_mesh(
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def decode_mesh_2d(
+    dp: int,
+    tp: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D ``(dp, tp)`` mesh: codeword batch over ``dp``, each codeword's
+    Tanner graph block-row-sharded over ``tp`` (``parallel.rowshard``).
+
+    The production topology for the giant DVB-S2 codes: tp rides the
+    fastest ICI links (it moves ``deg x Z x B`` ints per layer), dp is
+    embarrassingly parallel (counters only).
+    """
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * tp, (
+        f"need {dp * tp} devices for a {dp}x{tp} mesh, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, (BATCH_AXIS, TP_AXIS))
 
 
 def initialize_distributed(

@@ -36,14 +36,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..codes.code import LdpcCode
 from ..codes.schedule import build_layers
 from ..ops.layered import LayeredSpec, _cn_update, _roll
-from .mesh import BATCH_AXIS
+from .mesh import BATCH_AXIS, TP_AXIS
 
-__all__ = ["make_rowsharded_decoder", "rowshard_supported"]
+__all__ = [
+    "make_rowsharded_decoder",
+    "make_dp_tp_decoder",
+    "rowshard_supported",
+]
 
 _CT = jnp.int16
 _ST = jnp.int8
@@ -67,7 +71,8 @@ def _slice_rows(arr, r0, zd):
     return jax.lax.dynamic_slice_in_dim(arr, r0, zd, axis=0)
 
 
-def _layer_step_sharded(V3, msg, layer, spec: LayeredSpec, r0, zd, active):
+def _layer_step_sharded(V3, msg, layer, spec: LayeredSpec, r0, zd, active,
+                        axis_name):
     """One QC block-row, this device's Z/D rows; returns (V3, msg, parity).
 
     ``msg`` is the local [deg, zd, B] int8 slab; parity is local [zd, B].
@@ -124,7 +129,7 @@ def _layer_step_sharded(V3, msg, layer, spec: LayeredSpec, r0, zd, active):
     delta_full = jax.lax.dynamic_update_slice_in_dim(
         delta_full, jnp.stack(deltas), r0, axis=1
     )
-    delta_full = jax.lax.psum(delta_full, BATCH_AXIS)
+    delta_full = jax.lax.psum(delta_full, axis_name)
     # apply per block-column; repeated columns just add twice (deltas of
     # distinct edges touch disjoint VNs, so the adds never overlap)
     col_edges: dict[int, list[int]] = {}
@@ -140,21 +145,13 @@ def _layer_step_sharded(V3, msg, layer, spec: LayeredSpec, r0, zd, active):
     return V3, jnp.stack(out_msg), parity
 
 
-def make_rowsharded_decoder(
-    code: LdpcCode,
-    spec: LayeredSpec,
-    mesh: Mesh,
-):
-    """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``
-    where each codeword's Tanner graph is sharded over the mesh.
+def _make_local_decode(code: LdpcCode, spec: LayeredSpec, D: int,
+                       axis_name: str):
+    """Build the per-device decode body: this device owns Z/D rows of
+    every QC block-row, exchanging deltas over mesh axis ``axis_name``.
 
-    ``B`` is typically tiny (this is the latency/TP axis, not the batch
-    axis); bits come back replicated.
+    ``code`` must already be the effective (QC-view) code.
     """
-    from ..decoder import effective_code
-
-    code = effective_code(code)
-    D = int(np.prod(list(mesh.shape.values())))
     # layer order must match make_layered_decoder's for the same spec —
     # fixed-point layered min-sum is schedule-order-sensitive, so the
     # bit-exactness contract depends on honoring spec.schedule here
@@ -172,8 +169,8 @@ def make_rowsharded_decoder(
         ip[code.col_perm] = np.arange(code.N)
         inv_perm = jnp.asarray(ip)
 
-    def local_decode(llr):  # llr [B, N] replicated, inside shard_map
-        di = jax.lax.axis_index(BATCH_AXIS)
+    def local_decode(llr):  # llr [B, N] tp-replicated, inside shard_map
+        di = jax.lax.axis_index(axis_name)
         r0 = di * zd
         llr = jnp.asarray(llr, _ST)
         if perm is not None:
@@ -187,13 +184,13 @@ def make_rowsharded_decoder(
             out = []
             for li, layer in enumerate(layers):
                 V3, m, parity = _layer_step_sharded(
-                    V3, msgs[li], layer, spec, r0, zd, active
+                    V3, msgs[li], layer, spec, r0, zd, active, axis_name
                 )
                 out.append(m)
                 lay_un = jnp.any(parity != 0, axis=0)  # local [B]
                 unsat = lay_un if unsat is None else (unsat | lay_un)
             # global per-codeword convergence vote (partial-syndrome OR)
-            unsat = jax.lax.psum(unsat.astype(jnp.int32), BATCH_AXIS) > 0
+            unsat = jax.lax.psum(unsat.astype(jnp.int32), axis_name) > 0
             return V3, tuple(out), unsat
 
         if not spec.early_term:
@@ -225,6 +222,28 @@ def make_rowsharded_decoder(
             bits = bits[:, inv_perm]
         return bits, iters_used
 
+    return local_decode
+
+
+def make_rowsharded_decoder(
+    code: LdpcCode,
+    spec: LayeredSpec,
+    mesh: Mesh,
+):
+    """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``
+    where each codeword's Tanner graph is sharded over the whole mesh.
+
+    ``B`` is typically tiny (this is the latency/TP axis, not the batch
+    axis); bits come back replicated.
+    """
+    from ..decoder import effective_code
+
+    code = effective_code(code)
+    D = int(np.prod(list(mesh.shape.values())))
+    # the 1-D decode_mesh names its only axis "dp"; use whatever the mesh
+    # axis is actually called
+    axis_name = mesh.axis_names[0] if len(mesh.axis_names) == 1 else BATCH_AXIS
+    local_decode = _make_local_decode(code, spec, D, axis_name)
     mapped = jax.shard_map(
         local_decode,
         mesh=mesh,
@@ -234,3 +253,73 @@ def make_rowsharded_decoder(
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_dp_tp_decoder(
+    code: LdpcCode,
+    spec: LayeredSpec,
+    mesh: Mesh,
+    count_errors: bool = True,
+):
+    """DPxTP composition over a 2-D ``(dp, tp)`` mesh
+    (``mesh.decode_mesh_2d``): the codeword batch is sharded over ``dp``
+    while each codeword's Tanner graph is block-row-sharded over ``tp``.
+
+    This is the production topology for the giant DVB-S2 codes — the two
+    parallel axes SURVEY §2.5 designs, composed: frames scale out like the
+    reference's streams (P2/P3), the graph scales in like nothing the
+    reference has.  Returns
+    ``step(llr[B, N], ref_bits?) -> (bits, iters_used[, be, fe])`` with
+    ``bits`` dp-sharded and counters/iters replicated (psum over dp; the
+    tp vote already lives inside the decode).
+    """
+    from ..decoder import effective_code
+
+    assert BATCH_AXIS in mesh.shape and TP_AXIS in mesh.shape, (
+        f"mesh must have ({BATCH_AXIS!r}, {TP_AXIS!r}) axes, "
+        f"got {mesh.axis_names}"
+    )
+    code_eff = effective_code(code)
+    local_decode = _make_local_decode(
+        code_eff, spec, int(mesh.shape[TP_AXIS]), TP_AXIS
+    )
+
+    def local_step(llr, ref_bits):
+        bits, iters_used = local_decode(llr)  # tp-collective inside
+        iters_used = jax.lax.pmax(iters_used, BATCH_AXIS)
+        if not count_errors:
+            return bits, iters_used
+        err = (bits != ref_bits).astype(jnp.int32)
+        be_per_frame = err.sum(axis=1)
+        be = jax.lax.psum(be_per_frame.sum(), BATCH_AXIS)
+        fe = jax.lax.psum(
+            (be_per_frame != 0).astype(jnp.int32).sum(), BATCH_AXIS
+        )
+        return bits, iters_used, be, fe
+
+    out_specs = (
+        (P(BATCH_AXIS, None), P())
+        if not count_errors
+        else (P(BATCH_AXIS, None), P(), P(), P())
+    )
+    mapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS, None), P(BATCH_AXIS, None)),
+        out_specs=out_specs,
+        # per-device message state is deliberately shard-varying
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+    batch_sharding = NamedSharding(mesh, P(BATCH_AXIS, None))
+
+    def run(llr, ref_bits=None):
+        llr = jax.device_put(llr, batch_sharding)
+        if ref_bits is None:
+            ref_bits = jnp.zeros(llr.shape, jnp.uint8)
+        ref_bits = jax.device_put(
+            jnp.asarray(ref_bits, jnp.uint8), batch_sharding
+        )
+        return jitted(llr, ref_bits)
+
+    return run
