@@ -239,11 +239,16 @@ def make_rowsharded_decoder(
     from ..decoder import effective_code
 
     code = effective_code(code)
+    # whole-mesh sharding needs a single axis: with more axes, axis_index/
+    # psum would span only one of them while D spans all, silently merging
+    # a fraction of the row slices — use make_dp_tp_decoder for 2-D meshes
+    assert len(mesh.axis_names) == 1, (
+        f"make_rowsharded_decoder shards over the WHOLE mesh and requires "
+        f"a 1-D mesh, got axes {mesh.axis_names}; use make_dp_tp_decoder "
+        f"for a (dp, tp) mesh"
+    )
     D = int(np.prod(list(mesh.shape.values())))
-    # the 1-D decode_mesh names its only axis "dp"; use whatever the mesh
-    # axis is actually called
-    axis_name = mesh.axis_names[0] if len(mesh.axis_names) == 1 else BATCH_AXIS
-    local_decode = _make_local_decode(code, spec, D, axis_name)
+    local_decode = _make_local_decode(code, spec, D, mesh.axis_names[0])
     mapped = jax.shard_map(
         local_decode,
         mesh=mesh,

@@ -3,18 +3,7 @@
 # curves added in round 2 — the deg-32 2048x384 code and the Rayleigh
 # fading channel demonstration (both probed on CPU; ranges in
 # run_ber_curves.py CURVES).
-cd "$(dirname "$0")/.." || exit 1
-mkdir -p benchmarks/logs
-export JAX_PLATFORMS=cpu
-export PYTHONPATH=/root/repo:/root/.axon_site
-
-run() { # name timeout cmd...
-  local name=$1 tmo=$2; shift 2
-  echo "== $name ($(date +%H:%M:%S)) =="
-  timeout "$tmo" "$@" >"benchmarks/logs/$name.log" 2>&1
-  local rc=$?
-  echo "== $name done rc=$rc ($(date +%H:%M:%S)) =="
-}
+. "$(dirname "$0")/queue_lib.sh"
 
 run ber2048 14400 python tools/run_ber_curves.py \
   --only 2048x384_OMS_10 --max-frames 10000000

@@ -104,8 +104,9 @@ def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
     )
     print(f"== {code} {algo} {iters}it ==", flush=True)
     res = run_sweep(cfg, progress=True)
-    if os.path.exists(ckpt_path):
-        os.remove(ckpt_path)
+    # NOTE: the checkpoint is NOT deleted here — main() removes it only
+    # after the final curve JSON has been written, so a kill between
+    # sweep completion and persistence cannot lose the whole curve
     import jax
 
     return {
@@ -229,6 +230,9 @@ def main() -> None:
             )
             with open(os.path.join(DATA_DIR, cid + ".json"), "w") as f:
                 json.dump(data, f, indent=1)
+            ckpt = os.path.join(DATA_DIR, "ckpt_" + cid + ".json")
+            if os.path.exists(ckpt):  # results persisted; ckpt now moot
+                os.remove(ckpt)
             write_md()  # checkpoint the document after every curve
     out = write_md()
     print(f"wrote {out}")
