@@ -76,6 +76,40 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
     }
 
 
+def bench_latency(name: str, iters: int, quick: bool) -> dict:
+    """Minimum-batch (one 128-lane tile) decode latency — the reference's
+    latency axis (``code/ldpc_decoder_arm/main.cpp:612-625`` reports
+    per-frame latency alongside Mbps; the paper quotes the per-stage
+    breakdown at ``ldpcGpuTegra.tex:298``).  Throughput batches amortize;
+    this measures the smallest dispatchable unit."""
+    code = load_code(name)
+    spec = LayeredSpec(algo="OMS", iters=iters, early_term=False)
+    backend = backend_for(code, spec)
+    dec = make_decoder(code, spec)
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    chan.configure(2.5)
+    batch = 128
+    n_inputs = 2 if quick else 6
+    inputs = [
+        chan.generate_zero_int8(jax.random.key(1000 + i), batch)
+        for i in range(n_inputs)
+    ]
+    ks, kl = (2, 6) if quick else (4, 20)
+    sec = measure_call(dec, inputs, k_small=ks, k_large=kl)
+    return {
+        "code": name,
+        "backend": backend,
+        "iters": iters,
+        "batch": batch,
+        "ms_per_call": round(sec * 1e3, 3),
+        "us_per_frame": round(sec / batch * 1e6, 2),
+        "coded_mbps": round(batch * code.N / sec / 1e6, 1),
+    }
+
+
+LAT_CONFIGS = ["576x288", "1944x972", "4000x2000", "64800x32400"]
+
+
 def probe_rates() -> dict:
     """Measure the chip's sustained VPU/HBM ceilings once per suite run."""
     from .vpu_probe import measure_hbm_bw, measure_vpu_rate
@@ -129,6 +163,20 @@ def main() -> None:
                 flush=True,
             )
 
+    lat_rows = []
+    for name in LAT_CONFIGS:
+        try:
+            r = bench_latency(name, 10, args.quick)
+        except Exception as e:  # noqa: BLE001
+            print(f"(EE) latency {name} failed: {e}")
+            continue
+        lat_rows.append(r)
+        print(
+            f"(PERF) latency {name} [{r['backend']}]: {r['ms_per_call']} ms "
+            f"/128-frame tile, {r['us_per_frame']} us/frame",
+            flush=True,
+        )
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# Benchmark results (single chip)\n\n")
@@ -149,9 +197,25 @@ def main() -> None:
                 f"| {r['batch']} | {r['ms_per_call']} | {r['coded_mbps']} "
                 f"| {r['roofline_frac']} ({r['bound']}) | {vs} |\n"
             )
+        if lat_rows:
+            f.write(
+                "\nMinimum-batch latency (one 128-lane tile, 10 iters; "
+                "the reference's latency axis, "
+                "`ldpc_decoder_arm/main.cpp:612-625`):\n\n"
+            )
+            f.write("| code | backend | ms / 128-frame call | us/frame "
+                    "| Mbps at this batch |\n")
+            f.write("|---|---|---|---|---|\n")
+            for r in lat_rows:
+                f.write(
+                    f"| {r['code']} | {r['backend']} | {r['ms_per_call']} "
+                    f"| {r['us_per_frame']} | {r['coded_mbps']} |\n"
+                )
         f.write("\nRaw records:\n\n```json\n")
         for r in rows:
             f.write(json.dumps(r) + "\n")
+        for r in lat_rows:
+            f.write(json.dumps({"latency": True, **r}) + "\n")
         f.write("```\n")
     print(f"(II) wrote {args.out}")
 

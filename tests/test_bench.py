@@ -50,3 +50,17 @@ def test_roofline_report_bounds():
     r = roofline_report(code, spec, 1024, seconds=t_bound)
     assert r["roofline_frac"] == pytest.approx(1.0)
     assert r["bound"] in ("vpu", "hbm")
+
+
+def test_bench_latency_row_cpu():
+    """bench_latency measures the minimum 128-lane tile and reports the
+    reference's latency fields (main.cpp/ARM (PERF) analogue)."""
+    from ldpcgputegra_tpu.bench.suite import bench_latency
+
+    r = bench_latency("576x288", iters=2, quick=True)
+    assert r["batch"] == 128
+    assert r["ms_per_call"] > 0
+    assert r["us_per_frame"] == pytest.approx(
+        r["ms_per_call"] * 1e3 / 128, rel=0.01
+    )
+    assert r["coded_mbps"] > 0
