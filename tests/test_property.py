@@ -145,3 +145,72 @@ def test_random_subpass_codes_agree(seed, z, n_rows):
     bits = np.asarray(make_layered_decoder(code, spec)(llr)[0])
     refs, _ = decode_oracle(gv, llr, GoldenParams(algo="OMS", iters=iters))
     np.testing.assert_array_equal(bits, refs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 100_000),
+    z=st.sampled_from([8, 16]),
+    tp=st.sampled_from([2, 4]),
+)
+def test_random_subpass_codes_rowshard_agrees(seed, z, tp):
+    """The row-sharded decoder on random sub-pass QC codes (repeated
+    block-columns, masked commits) must match the single-device layered
+    decoder — the worst-case schedule for the per-layer delta-psum merge."""
+    from ldpcgputegra_tpu.codes.code import DegreeClass, Layer, LdpcCode, QCRow
+    from ldpcgputegra_tpu.codes.dvbs2 import _conflict_groups
+    from ldpcgputegra_tpu.parallel.mesh import decode_mesh
+    from ldpcgputegra_tpu.parallel.rowshard import (
+        make_rowsharded_decoder,
+        rowshard_supported,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_cols, n_rows = 4, 2
+    zz = np.arange(z, dtype=np.int64)[:, None]
+    layers, classes, class_idx = [], [], []
+    off = 0
+    for _ in range(n_rows):
+        deg = int(rng.integers(3, 6))
+        cols = rng.integers(0, n_cols, size=deg).astype(np.int32)
+        shifts = rng.integers(0, z, size=deg).astype(np.int32)
+        while len({(int(c), int(s)) for c, s in zip(cols, shifts)}) < deg:
+            shifts = rng.integers(0, z, size=deg).astype(np.int32)
+        idx = (cols[None, :] * z + (shifts[None, :] + zz) % z).astype(
+            np.int32
+        )
+        groups = _conflict_groups(cols, shifts, z)
+        for g in groups:
+            layers.append(
+                Layer(
+                    idx=idx,
+                    edge_offset=off,
+                    qc=QCRow(
+                        cols=cols,
+                        shifts=shifts,
+                        commit_rows=None if len(groups) == 1 else g,
+                    ),
+                )
+            )
+        classes.append(DegreeClass(deg, z))
+        class_idx.append(idx)
+        off += idx.size
+    code = LdpcCode(
+        name=f"fzrs{seed}",
+        N=n_cols * z,
+        K=n_cols * z - n_rows * z,
+        classes=tuple(classes),
+        class_idx=tuple(class_idx),
+        Z=z,
+        layers=tuple(layers),
+    )
+    assert rowshard_supported(code, tp)
+    llr = np.clip(
+        8.0 * rng.normal(-0.3, 1.2, size=(3, code.N)), -31, 31
+    ).astype(np.int8)
+    iters = int(rng.integers(1, 5))
+    spec = LayeredSpec(algo="OMS", iters=iters)
+    mesh = decode_mesh(n_devices=tp)
+    bits_s = np.asarray(make_rowsharded_decoder(code, spec, mesh)(llr)[0])
+    bits_1 = np.asarray(make_layered_decoder(code, spec)(llr)[0])
+    np.testing.assert_array_equal(bits_s, bits_1)
