@@ -65,6 +65,15 @@ CURVES = [
     # fading.  CPU probe: FER 0.44 at 4 dB, 7.8e-3 at 6, <1e-4 at 8
     ("576x288", "OMS", 10, 3.0, 7.0, 0.5, 8192,
      {"fading": "rayleigh", "tag": "rayleigh"}),
+    # the paper's SECOND operating point (5 iterations — every 5-iter
+    # throughput row in RESULTS.md / the paper's tables) needs its own
+    # BER anchor.  CPU probe: FER 0.32 at 2.0 dB, 9.0e-3 at 3.0, <1e-4
+    # at 4.0
+    ("576x288", "OMS", 5, 1.0, 4.0, 0.5, 16384),
+    # the second non-QC gather-path code (TK1-heterogeneous baseline at
+    # tex:318).  CPU probe: FER 0.98 at 1.25 dB, 0.56 at 1.5, 4.0e-2 at
+    # 1.75, 2.0e-4 at 2.0
+    ("8000x4000", "OMS", 10, 1.0, 2.25, 0.25, 2048),
 ]
 
 BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
