@@ -76,3 +76,19 @@ def test_dp_tp_dvbs2_staircase():
     bits_s, _ = step(llr)
     bits_1, _ = dec_1(llr)
     np.testing.assert_array_equal(np.asarray(bits_s), np.asarray(bits_1))
+
+
+def test_rowshard_rejects_2d_mesh():
+    """Whole-mesh row sharding on a 2-D mesh would silently merge only a
+    fraction of the row slices; it must be rejected loudly."""
+    code = load_code("576x288")
+    mesh = decode_mesh_2d(2, 4)
+    from ldpcgputegra_tpu.parallel.rowshard import make_rowsharded_decoder
+
+    with pytest.raises(AssertionError, match="1-D mesh"):
+        make_rowsharded_decoder(code, LayeredSpec(algo="OMS", iters=2), mesh)
+
+
+def test_decode_mesh_2d_requires_enough_devices():
+    with pytest.raises(AssertionError, match="devices"):
+        decode_mesh_2d(4, 4)  # 16 > the 8 virtual devices
