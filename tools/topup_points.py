@@ -80,6 +80,11 @@ def main() -> None:
         data = json.load(f)
 
     for snr in args.snr:
+        # per-point sweep checkpoint: a multi-hour deep-tail top-up
+        # survives a kill/timeout and resumes mid-point
+        ckpt_path = os.path.join(
+            DATA_DIR, f"ckpt_topup_{args.curve}_{snr}.json"
+        )
         cfg = SweepConfig(
             code=code,
             algo=algo,
@@ -92,6 +97,7 @@ def main() -> None:
             auto_fe=False,
             max_frames=args.max_frames,
             early_term=True,
+            checkpoint=ckpt_path,
         )
         res = run_sweep(cfg, progress=True)
         (p,) = res.points
@@ -109,6 +115,8 @@ def main() -> None:
                   f"(it saw more frame errors than this re-run)")
         with open(path, "w") as f:  # checkpoint after every point
             json.dump(data, f, indent=1)
+        if os.path.exists(ckpt_path):  # point persisted; ckpt now moot
+            os.remove(ckpt_path)
         print(f"(II) {p.snr_db} dB: BER {p.ber:.3e} on {p.fe} FE "
               f"/ {p.frames} frames", flush=True)
     print(f"wrote {write_md()}")
