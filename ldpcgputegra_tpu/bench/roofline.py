@@ -113,7 +113,6 @@ def roofline_report(
     labeled ``ceiling="table"`` (treat those fractions as approximate).
     """
     hw = hw_spec()
-    probed = vpu_rate is not None
     vr = vpu_rate if vpu_rate is not None else hw.vpu_elem_ops
     hr = hbm_rate if hbm_rate is not None else hw.hbm_bw
     m = kernel_model(code, spec, batch, streamed)
@@ -121,6 +120,12 @@ def roofline_report(
     t_hbm = m["hbm_bytes"] / hr
     bound = "vpu" if t_vpu >= t_hbm else "hbm"
     t_bound = max(t_vpu, t_hbm)
+    # the honesty label must key on the rate that actually SETS the
+    # ceiling: a partially failed probe (vpu measured, hbm probe raised)
+    # must not report an hbm-bound table fraction as "probed"
+    probed = (vpu_rate is not None) if bound == "vpu" else (
+        hbm_rate is not None
+    )
     return {
         "hw": hw.name,
         "ceiling": "probed" if probed else "table",

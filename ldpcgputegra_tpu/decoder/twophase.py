@@ -96,25 +96,41 @@ def make_twophase_decoder(
         bits, _ = dec1(llr)
         return bits, ok_fn(bits)
 
+    def _bucket(n: int, b: int) -> int:
+        """Tail batch size: the next power-of-two multiple of ``tail_pad``
+        (capped at the padded full batch).  A raw ``pad-to-128`` would give
+        a different phase-2 shape on almost every call, and dec2 (a jitted
+        decoder) retraces+recompiles per new shape — on a remote compile
+        service that puts seconds-to-minutes INSIDE the timed region of
+        any throughput study.  Buckets bound the distinct shapes to
+        log2(b/tail_pad)+1."""
+        cap = -(-b // tail_pad) * tail_pad
+        t = tail_pad
+        while t < n:
+            t *= 2
+        return min(t, cap)
+
     def decode(llr, ref_bits: Optional[np.ndarray] = None):
         del ref_bits
-        llr = np.asarray(llr, np.int8)
+        llr = jnp.asarray(llr, jnp.int8)  # stays on device throughout
         b = llr.shape[0]
         bits, ok = phase1(llr)
-        ok = np.asarray(ok)
-        bad = np.flatnonzero(~ok)
+        # the per-frame mask is the ONLY host fetch (B bytes)
+        bad = np.flatnonzero(~np.asarray(ok))
         stats = {
             "phase2_frames": int(bad.size),
             "eff_iters_per_frame": k1 + spec.iters * bad.size / max(b, 1),
         }
         if bad.size == 0:
-            return np.asarray(bits), stats
-        # pad the tail batch to the decoder's preferred lane multiple
-        pad = (-bad.size) % tail_pad
-        idx = np.concatenate([bad, np.zeros(pad, np.int64)])
-        tail_bits, _ = dec2(llr[idx])
-        out = np.asarray(bits).copy()
-        out[bad] = np.asarray(tail_bits)[: bad.size]
+            return bits, stats
+        tail = _bucket(bad.size, b)
+        idx = jnp.asarray(
+            np.concatenate([bad, np.zeros(tail - bad.size, np.int64)])
+        )
+        # device-side gather/decode/scatter: no LLR or bit array ever
+        # crosses the host boundary
+        tail_bits, _ = dec2(jnp.take(llr, idx, axis=0))
+        out = bits.at[jnp.asarray(bad)].set(tail_bits[: bad.size])
         return out, stats
 
     return decode

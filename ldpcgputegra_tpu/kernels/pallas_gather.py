@@ -32,6 +32,8 @@ block out, nothing else.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,9 +53,24 @@ _LANE = 128
 _SUB_DEFAULT = 8  # sublanes per tile: 8 = full-VREG rows; 4 halves VMEM
 
 
+_plan_cache: "OrderedDict[tuple[int, str], tuple]" = OrderedDict()
+_PLAN_CACHE_MAX = 32
+
+
 def _plan(code: LdpcCode, spec: LayeredSpec):
     """Colored/requested layers + per-layer message base rows (4-aligned so
-    int8 message slices stay (32,128)-tile aligned)."""
+    int8 message slices stay (32,128)-tile aligned).
+
+    Memoized on (code identity, schedule): the graph coloring inside
+    ``build_layers`` is pure-Python and costs seconds on the large codes,
+    and one decoder construction reaches here up to ~5 times
+    (gather_vmem_bytes at both sublane widths via pick_sublanes, then
+    make_gather_decoder itself)."""
+    key = (id(code), spec.schedule)
+    hit = _plan_cache.get(key)
+    if hit is not None and hit[0] is code:  # id() reuse guard
+        _plan_cache.move_to_end(key)
+        return hit[1]
     layers = list(build_layers(code, spec.schedule))
     bases = []
     base = 0
@@ -65,11 +82,22 @@ def _plan(code: LdpcCode, spec: LayeredSpec):
         # int8 tile), 16 at sub=4 (half-tile offsets; lowering covered by
         # tests/test_tpu_lowering.py::test_gather_kernel_lowers_sublane4)
         base = (base + 3) & ~3
-    return layers, bases, base
+    result = (layers, bases, base)
+    _plan_cache[key] = (code, result)
+    while len(_plan_cache) > _PLAN_CACHE_MAX:
+        _plan_cache.popitem(last=False)
+    return result
 
 
 def gather_supported(code: LdpcCode, spec: LayeredSpec) -> bool:
-    return spec.schedule in ("auto", "colored", "reference")
+    # col_perm-carrying codes (QC-ified staircase views) are excluded:
+    # this kernel does not apply the column permutation (they are QC and
+    # take the roll kernels anyway; silently decoding permuted H against
+    # unpermuted LLRs would corrupt bits)
+    return (
+        spec.schedule in ("auto", "colored", "reference")
+        and code.col_perm is None
+    )
 
 
 def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
@@ -230,6 +258,9 @@ def make_gather_decoder(
     ``tests/test_pallas_gather.py``.
     """
     assert gather_supported(code, spec)
+    assert code.col_perm is None, (
+        f"{code.name}: gather kernel does not apply col_perm"
+    )
     layers, bases, msg_rows = _plan(code, spec)
     sub = sublanes if sublanes is not None else pick_sublanes(code, spec)
     assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"

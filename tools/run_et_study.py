@@ -131,7 +131,8 @@ def conv_only(out):
                 print(f"(II) {name} {algo} @{snr} dB: "
                       + " ".join(f"P(<={k})={v:.3f}"
                                  for k, v in conv.items()), flush=True)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.dirname(out):  # bare filename -> cwd, nothing to make
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         f.write("# Early-termination convergence statistics\n\n")
         f.write(
@@ -217,7 +218,8 @@ def main():
         print("(EE) no configuration succeeded; leaving existing output "
               "untouched")
         return
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# Early-termination operating-point study\n\n")
         f.write(
