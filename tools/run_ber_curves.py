@@ -74,6 +74,13 @@ CURVES = [
     # tex:318).  CPU probe: FER 0.98 at 1.25 dB, 0.56 at 1.5, 4.0e-2 at
     # 1.75, 2.0e-4 at 2.0
     ("8000x4000", "OMS", 10, 1.0, 2.25, 0.25, 2048),
+    # the third (largest) non-QC code.  CPU probe: FER 0.96 at 1.25 dB,
+    # 0.33 at 1.5, 4.5e-3 at 1.75, <1e-4 at 2.0
+    ("9972x4986", "OMS", 10, 1.0, 2.0, 0.25, 2048),
+    # DVB-T2 short FECFRAME (staircase QC view at Z=360, same machinery
+    # as the 64800 family at 1/4 the block).  CPU probe: FER 1.0 at 1.2
+    # dB, 0.20 at 1.6, 2.8e-4 at 2.0
+    ("16200x7560", "OMS", 10, 1.0, 2.2, 0.2, 1024),
 ]
 
 BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
