@@ -114,8 +114,18 @@ def measure_host_call(
     within one measurement (repeats=1, the default) the device never
     sees a repeated (executable, operands) pair.  ``repeats > 1`` reuses
     the same slices and is only sound on directly-attached backends
-    where no execution dedup exists.
+    where no execution dedup exists — on a relayed backend (axon) it is
+    auto-degraded to 1 rather than silently measuring cache hits.
     """
+    if repeats > 1 and jax.devices()[0].platform not in ("cpu", "gpu", "tpu"):
+        # relayed/tunneled platform: execution dedup makes slice reuse
+        # measure cache hits, not compute — degrade loudly
+        print(
+            f"(WW) measure_host_call: repeats={repeats} is unsound on the "
+            f"'{jax.devices()[0].platform}' relay platform (execution "
+            "dedup); degrading to repeats=1"
+        )
+        repeats = 1
     need = warm + k_small + k_large
     assert len(inputs) >= need, f"need {need} distinct inputs, got {len(inputs)}"
     ofs_small, ofs_large = warm, warm + k_small

@@ -31,10 +31,13 @@ CONFIGS = [
     ("576x288", 16384, {10: 127.0, 5: 217.0}),
     ("2304x1152", 8192, {10: 132.0, 5: 226.0}),
     ("1944x972", 8192, {}),
+    ("2048x384", 8192, {}),   # deg-32 CN: highest per-check register pressure
     ("4000x2000", 4096, {10: 131.0, 5: 230.0}),
+    ("4896x2448", 4096, {}),
     ("8000x4000", 2048, {10: 33.0}),  # TK1 heterogeneous, tex:318
     ("9972x4986", 2048, {}),
     ("16200x7560", 1024, {}),
+    ("20000x10000", 1024, {}),
     ("64800x32400", 512, {}),
     # rate 2/3: the sub-pass-split schedule (repeated block-columns) —
     # measures the corrected schedule's ~10% extra layer passes
@@ -154,6 +157,17 @@ def main() -> None:
             r["baseline_mbps"] = base
             if base:
                 r["vs_baseline"] = round(r["coded_mbps"] / base, 1)
+            if r["roofline_frac"] > 1.0:
+                # A fraction above a MEASURED ceiling is a probe bug
+                # (co-issue mix mismatch), not a publishable number.
+                r["roofline_suspect"] = True
+                print(
+                    f"(EE) {name}@{iters}it roofline_frac="
+                    f"{r['roofline_frac']} > 1 against a measured ceiling "
+                    "— probe bug (vpu_probe op mix vs kernel dependency "
+                    "structure); investigate before publishing",
+                    flush=True,
+                )
             rows.append(r)
             print(
                 f"(PERF) {name} {iters}it [{r['backend']}]: "
@@ -177,9 +191,20 @@ def main() -> None:
             flush=True,
         )
 
+    # Provenance stamp: carried into every raw record so downstream
+    # consumers (bench.py's stale fallback) can report measurement date
+    # and harness version accurately instead of guessing.
+    stamp = {
+        "measured": time.strftime("%Y-%m-%d"),
+        "harness": "salted-slope",
+    }
+    rows = [{**r, **stamp} for r in rows]
+    lat_rows = [{**r, **stamp} for r in lat_rows]
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write("# Benchmark results (single chip)\n\n")
+        f.write(f"Measured {stamp['measured']}, salted slope harness. ")
         f.write(f"Device: {jax.devices()[0].device_kind}; ")
         f.write("coded-bit throughput, OMS, reference accounting "
                 "(`main.cpp:311-315`).\n\n")

@@ -117,13 +117,21 @@ def make_twophase_decoder(
         bits, ok = phase1(llr)
         # the per-frame mask is the ONLY host fetch (B bytes)
         bad = np.flatnonzero(~np.asarray(ok))
+        tail = _bucket(bad.size, b) if bad.size else 0
         stats = {
             "phase2_frames": int(bad.size),
-            "eff_iters_per_frame": k1 + spec.iters * bad.size / max(b, 1),
+            # what the DEVICE decodes: phase 2 runs the BUCKETED tail
+            # (power-of-two multiple of tail_pad), not bad.size frames —
+            # the honest cost stat charges the bucketed batch
+            "phase2_batch": int(tail),
+            "eff_iters_per_frame": k1 + spec.iters * tail / max(b, 1),
+            # the unbucketed ideal (what a perfectly-shaped phase 2 would
+            # cost), kept for comparing against the k1 + FER(k1)*budget model
+            "eff_iters_per_frame_ideal":
+                k1 + spec.iters * bad.size / max(b, 1),
         }
         if bad.size == 0:
             return bits, stats
-        tail = _bucket(bad.size, b)
         idx = jnp.asarray(
             np.concatenate([bad, np.zeros(tail - bad.size, np.int64)])
         )

@@ -7,7 +7,7 @@ DEADLINE=$(( $(date +%s) + ${1:-39600} ))
 n=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   n=$((n+1))
-  if timeout 60 python -c "import jax; print(jax.devices())" \
+  if timeout 90 python -c "import jax; print(jax.devices())" \
       >/tmp/relay_probe.log 2>&1; then
     echo "relay UP after $n probes: $(cat /tmp/relay_probe.log)"
     exit 0
