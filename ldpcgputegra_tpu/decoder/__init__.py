@@ -119,6 +119,14 @@ def make_decoder(
         from ..kernels.pallas_gather import make_gather_decoder
 
         return make_gather_decoder(code, spec, interpret=interpret)
+    if resolved == "pallas-gather-chunked":
+        # compile-size-bounded gather variant (fori_loop over SMEM-indexed
+        # check chunks): the fallback when the unrolled kernel's Mosaic op
+        # count makes the remote backend compile impractical
+        from ..kernels.pallas_gather import make_gather_decoder
+
+        return make_gather_decoder(code, spec, interpret=interpret,
+                                   chunked=True)
     if resolved == "xla":
         return make_layered_decoder(code, spec)
     raise ValueError(f"unknown backend {backend!r}")

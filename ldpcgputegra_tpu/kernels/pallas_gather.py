@@ -45,7 +45,12 @@ from ..codes.schedule import build_layers
 from ..ops.layered import LayeredSpec
 from .pallas_layered import _f_consts
 
-__all__ = ["make_gather_decoder", "gather_supported", "gather_vmem_bytes"]
+__all__ = [
+    "make_gather_decoder",
+    "gather_supported",
+    "gather_vmem_bytes",
+    "chunked_vmem_bytes",
+]
 
 _CT = jnp.int32
 _ST = jnp.int8
@@ -119,13 +124,196 @@ def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
 
 
 def pick_sublanes(code: LdpcCode, spec: LayeredSpec,
-                  budget: int = 100 << 20) -> int:
+                  budget: int = 100 << 20, chunked: bool = False) -> int:
     """8 sublanes (full-VREG rows) when the working set fits, else 4
     (half-VREG loads, half the VMEM — lets 8000x4000/9972x4986 in)."""
+    size = chunked_vmem_bytes if chunked else gather_vmem_bytes
     for sub in (8, 4):
-        if gather_vmem_bytes(code, spec, sub) <= budget:
+        if size(code, spec, sub) <= budget:
             return sub
     return 0
+
+
+def _plan_chunked(code: LdpcCode, spec: LayeredSpec, chunk: int):
+    """Chunked-kernel plan: per-layer check counts padded to ``chunk`` and
+    message bases aligned to ``chunk`` edge rows (so every chunk's int8
+    message slice starts on a (32,128)-tile boundary), plus the flat VN
+    index table the kernel reads from SMEM.
+
+    Edge (layer, j, c) lives at flat row ``base[layer] + j*G_pad + c``;
+    padded entries (c >= G) point at the dummy APP row ``N``."""
+    layers, _, _ = _plan(code, spec)
+    bases = []
+    base = 0
+    for lay in layers:
+        g, deg = lay.idx.shape
+        bases.append(base)
+        g_pad = -(-g // chunk) * chunk
+        base += deg * g_pad
+        base = -(-base // chunk) * chunk  # keep next base chunk-aligned
+    vn_idx = np.full(base, code.N, dtype=np.int32)  # default: dummy row
+    for lay, b in zip(layers, bases):
+        g, deg = lay.idx.shape
+        g_pad = -(-g // chunk) * chunk
+        for j in range(deg):
+            vn_idx[b + j * g_pad : b + j * g_pad + g] = lay.idx[:, j]
+    return layers, bases, base, vn_idx
+
+
+def chunked_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
+                       sub: int = _SUB_DEFAULT, chunk: int | None = None)\
+        -> int:
+    """Chunked-kernel working set: like ``gather_vmem_bytes`` but the live
+    temporaries span only one chunk (32 message rows), not a whole layer."""
+    chunk = chunk if chunk is not None else 32 // sub
+    tb = sub * _LANE
+    layers, _, msg_rows, _ = _plan_chunked(code, spec, chunk)
+    deg = max(l.idx.shape[1] for l in layers)
+    n_slabs = (5 * deg + 8) if spec.early_term else (3 * deg + 8)
+    slab = chunk * tb * 4 * n_slabs
+    return 4 * (code.N + 1) * tb + msg_rows * tb + 4 * code.N * tb + slab
+
+
+def _build_chunked_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases,
+                          sub: int, chunk: int):
+    """Compile-size-bounded variant of ``_build_kernel``: instead of
+    unrolling one VREG load/store per check per edge (tens of thousands of
+    Mosaic ops for 9972x4986 — a remote-compile-time risk, VERDICT r2
+    weak #3), each layer runs a ``fori_loop`` over chunks of ``chunk``
+    checks whose VN indices are scalar-prefetched SMEM values; the body
+    unrolls only ``chunk * deg`` dynamic VREG ops.  Same fixed-point
+    semantics, same colored schedule, bit-exact to the unrolled kernel
+    (checks within a layer touch disjoint VNs, so processing order is
+    free)."""
+    sv, sm = spec.sat_var, spec.sat_msg
+    N = code.N
+    _SUB = sub
+    assert chunk * _SUB == 32, "chunk must cover one (32,128) int8 tile"
+
+    def layer_chunk(idx_ref, v_ref, m_ref, lay, base, c0, active):
+        g, deg = np.asarray(lay.idx).shape
+        g_pad = -(-g // chunk) * chunk
+        idxs = [
+            [idx_ref[base + j * g_pad + c0 + k] for k in range(chunk)]
+            for j in range(deg)
+        ]
+        slabs, msgs, contribs = [], [], []
+        for j in range(deg):
+            slab = jnp.stack([v_ref[idxs[j][k]] for k in range(chunk)])
+            r0 = pl.multiple_of((base + j * g_pad + c0) * _SUB, 32)
+            m = m_ref[pl.ds(r0, chunk * _SUB), :].reshape(
+                chunk, _SUB, _LANE
+            ).astype(_CT)
+            slabs.append(slab)
+            msgs.append(m)
+            contribs.append(jnp.clip(slab - m, -sv, sv))
+        mags, sgns = [], []
+        min1 = min2 = None
+        for j, c in enumerate(contribs):
+            a = (
+                jnp.abs(jnp.clip(c, -sm, sm))
+                if spec.minclamp == "pre"
+                else jnp.abs(c)
+            )
+            s = (c > 0).astype(_CT)
+            mags.append(a)
+            sgns.append(s)
+            if j == 0:
+                min1, min2 = a, jnp.full_like(a, sv + 1)
+            else:
+                min2 = jnp.minimum(min2, jnp.maximum(a, min1))
+                min1 = jnp.minimum(min1, a)
+        parity = sgns[0]
+        for s in sgns[1:]:
+            parity = parity ^ s
+        f1, f2 = _f_consts(min1, min2, spec)
+        for j in range(deg):
+            mag = jnp.where(mags[j] == min1, f1, f2)
+            m_new = jnp.where((parity ^ sgns[j]) == 1, mag, -mag)
+            if spec.minclamp == "pre":
+                m_new = jnp.clip(m_new, -sm, sm)
+            v_new = jnp.clip(contribs[j] + m_new, -sv, sv)
+            if active is not None:
+                v_new = jnp.where(active, v_new, slabs[j])
+                m_new = jnp.where(active, m_new, msgs[j])
+            r0 = pl.multiple_of((base + j * g_pad + c0) * _SUB, 32)
+            m_ref[pl.ds(r0, chunk * _SUB), :] = (
+                m_new.astype(_ST).reshape(chunk * _SUB, _LANE)
+            )
+            for k in range(chunk):
+                v_ref[idxs[j][k]] = v_new[k]
+        # padded checks (c0+k >= g) read/write only the dummy APP row and
+        # their own padded message rows, but their parity is garbage —
+        # mask it out of the early-termination reduction
+        unsat = jnp.zeros((_SUB, _LANE), _CT)
+        for k in range(chunk):
+            unsat = jnp.maximum(
+                unsat, jnp.where(c0 + k < g, parity[k], 0)
+            )
+        return unsat
+
+    def kernel(idx_ref, llr_ref, out_ref, iters_ref, v_ref, m_ref,
+               unsat_ref, cnt_ref):
+        v_ref[pl.ds(0, N)] = (
+            llr_ref[...].reshape(N, _SUB, _LANE).astype(_CT)
+        )
+        v_ref[N] = jnp.zeros((_SUB, _LANE), _CT)
+        m_ref[...] = jnp.zeros_like(m_ref)
+        cnt_ref[0] = jnp.asarray(
+            0 if spec.early_term else spec.iters, jnp.int32
+        )
+        if spec.early_term:
+            unsat_ref[...] = jnp.ones_like(unsat_ref)
+
+        def iteration(it, _):
+            del it
+            active = None
+            if spec.early_term:
+                active = unsat_ref[...] != 0  # [8, 128] codeword mask
+
+            def run_layers():
+                unsat = jnp.zeros((_SUB, _LANE), _CT)
+                for lay, base in zip(layers, bases):
+                    g = lay.idx.shape[0]
+                    g_pad = -(-g // chunk) * chunk
+
+                    def chunk_body(cb, un, lay=lay, base=base):
+                        lay_un = layer_chunk(
+                            idx_ref, v_ref, m_ref, lay, base, cb * chunk,
+                            active[None] if active is not None else None,
+                        )
+                        return jnp.maximum(un, lay_un)
+
+                    unsat = jax.lax.fori_loop(
+                        0, g_pad // chunk, chunk_body, unsat, unroll=False
+                    )
+                return unsat
+
+            if spec.early_term:
+                @pl.when(jnp.any(active))
+                def _():
+                    unsat = run_layers()
+                    unsat_ref[...] = jnp.minimum(
+                        unsat_ref[...], unsat.astype(unsat_ref.dtype)
+                    )
+                    cnt_ref[0] = cnt_ref[0] + 1
+            else:
+                run_layers()
+            return 0
+
+        jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
+        out_ref[...] = (
+            (v_ref[pl.ds(0, N)] > 0).astype(_ST).reshape(N * _SUB, _LANE)
+        )
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            iters_ref[0, 0] = cnt_ref[0]
+
+        @pl.when(pl.program_id(0) != 0)
+        def _():
+            iters_ref[0, 0] = jnp.maximum(iters_ref[0, 0], cnt_ref[0])
+
+    return kernel
 
 
 def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases, sub):
@@ -249,6 +437,7 @@ def make_gather_decoder(
     spec: LayeredSpec = LayeredSpec(),
     interpret: bool = False,
     sublanes: int | None = None,
+    chunked: bool = False,
 ):
     """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``.
 
@@ -256,21 +445,77 @@ def make_gather_decoder(
     lanes); ragged batches are zero-padded.  Bit-exact to the golden model
     run in the same (colored) check order — see
     ``tests/test_pallas_gather.py``.
+
+    ``chunked=True`` selects the compile-size-bounded kernel: per-layer
+    ``fori_loop`` over 32-message-row chunks with scalar-prefetched VN
+    indices instead of a full per-check Python unroll.  Bit-exact to the
+    default kernel; use when the unrolled kernel's Mosaic op count makes
+    the (remote) backend compile impractical.
     """
     assert gather_supported(code, spec)
     assert code.col_perm is None, (
         f"{code.name}: gather kernel does not apply col_perm"
     )
-    layers, bases, msg_rows = _plan(code, spec)
-    sub = sublanes if sublanes is not None else pick_sublanes(code, spec)
-    assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"
+    N = code.N
+    if chunked:
+        sub = sublanes if sublanes is not None else pick_sublanes(
+            code, spec, chunked=True
+        )
+        assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"
+        chunk = 32 // sub
+        layers, bases, msg_rows, vn_idx_np = _plan_chunked(code, spec, chunk)
+        kernel = _build_chunked_kernel(code, spec, layers, bases, sub, chunk)
+        vn_idx = jnp.asarray(vn_idx_np)
+        vmem_est = chunked_vmem_bytes(code, spec, sub, chunk)
+    else:
+        sub = sublanes if sublanes is not None else pick_sublanes(code, spec)
+        assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"
+        layers, bases, msg_rows = _plan(code, spec)
+        kernel = _build_kernel(code, spec, layers, bases, sub)
+        vmem_est = gather_vmem_bytes(code, spec, sub)
     _SUB = sub
     _TB = _SUB * _LANE
-    kernel = _build_kernel(code, spec, layers, bases, sub)
-    N = code.N
 
     def _call(llr2):  # [N*8, 128*ntiles] int8
         ntiles = llr2.shape[1] // _LANE
+        out_shape = (
+            jax.ShapeDtypeStruct((N * _SUB, _LANE * ntiles), _ST),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        )
+        params = pltpu.CompilerParams(
+            # the estimate counts peak live temporaries itself, so a
+            # 1.2x + flat margin suffices
+            vmem_limit_bytes=min(
+                int(vmem_est * 1.2) + (4 << 20), 120 << 20
+            ),
+        )
+        if chunked:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntiles,),
+                in_specs=[
+                    pl.BlockSpec((N * _SUB, _LANE), lambda i, s: (0, i)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((N * _SUB, _LANE), lambda i, s: (0, i)),
+                    pl.BlockSpec((1, 1), lambda i, s: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ),
+                scratch_shapes=[
+                    # APP: 1 VREG per VN + 1 dummy row for padded edges
+                    pltpu.VMEM((N + 1, _SUB, _LANE), _CT),
+                    pltpu.VMEM((msg_rows * _SUB, _LANE), _ST),
+                    pltpu.VMEM((_SUB, _LANE), jnp.int32),
+                    pltpu.SMEM((1,), jnp.int32),
+                ],
+            )
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                compiler_params=params,
+                interpret=interpret,
+            )(vn_idx, llr2)
         return pl.pallas_call(
             kernel,
             grid=(ntiles,),
@@ -282,25 +527,14 @@ def make_gather_decoder(
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((N * _SUB, _LANE * ntiles), _ST),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            ),
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((N, _SUB, _LANE), _CT),  # APP, 1 VREG per VN
                 pltpu.VMEM((msg_rows * _SUB, _LANE), _ST),  # c2v messages
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),  # unsat codeword mask
                 pltpu.SMEM((1,), jnp.int32),  # this tile's iteration count
             ],
-            compiler_params=pltpu.CompilerParams(
-                # the estimate now counts peak live temporaries itself, so
-                # a 1.2x + flat margin suffices
-                vmem_limit_bytes=min(
-                    int(gather_vmem_bytes(code, spec, _SUB) * 1.2)
-                    + (4 << 20),
-                    120 << 20,
-                ),
-            ),
+            compiler_params=params,
             interpret=interpret,
         )(llr2)
 

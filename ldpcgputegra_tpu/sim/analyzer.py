@@ -22,8 +22,11 @@ import jax.numpy as jnp
 __all__ = ["count_errors", "ErrorAnalyzer"]
 
 
-@partial(jax.jit, static_argnames=("info_only",))
+@partial(jax.jit, static_argnames=("info_only", "k"))
 def _count(decoded, reference, k: Optional[int] = None, info_only: bool = False):
+    # k is static: it slices the frame (shape-changing), and tracing it
+    # broke the first-ever end-to-end info-only run (the all-zero-codeword
+    # blind spot VERDICT r2 #4 — no test had executed this branch)
     err = (decoded != reference).astype(jnp.int32)
     if info_only and k is not None:
         err = err[:, :k]

@@ -155,3 +155,53 @@ def test_gather_sublane_autoselect():
     assert pick_sublanes(load_code("4000x2000"), spec) == 8
     assert pick_sublanes(load_code("8000x4000"), spec) == 4
     assert pick_sublanes(load_code("9972x4986"), spec) == 4
+
+
+@pytest.mark.parametrize("sub", [8, 4])
+@pytest.mark.parametrize("early_term", [False, True])
+def test_gather_chunked_matches_unrolled(sub, early_term):
+    """The compile-size-bounded chunked kernel (fori_loop over SMEM-indexed
+    check chunks) is bit-exact to the fully-unrolled kernel, with and
+    without early termination, at both sublane widths.  G=96 is NOT a
+    multiple of either chunk size (4 at sub=8, 8 at sub=4), so padded
+    dummy-row checks are exercised."""
+    code = make_random_regular_code(384, 192, 8, seed=31)
+    spec = LayeredSpec(algo="OMS", iters=3, schedule="colored",
+                       early_term=early_term)
+    llrs = _llrs(code.N, 3, seed=17)
+    d_un = make_gather_decoder(code, spec, interpret=True, sublanes=sub)
+    d_ch = make_gather_decoder(code, spec, interpret=True, sublanes=sub,
+                               chunked=True)
+    bits_u, it_u = d_un(llrs)
+    bits_c, it_c = d_ch(llrs)
+    np.testing.assert_array_equal(np.asarray(bits_u), np.asarray(bits_c))
+    assert int(it_u) == int(it_c)
+
+
+def test_gather_chunked_irregular_bit_exact():
+    """Chunked kernel on a two-degree-class code vs the golden model in
+    the colored order (mixed G and deg across layers stresses the
+    per-layer chunk padding and message-base alignment)."""
+    a = make_random_regular_code(256, 128, 8, seed=21)
+    b = make_random_regular_code(256, 192, 4, seed=22)
+    code = LdpcCode(
+        name="irr",
+        N=256,
+        K=128,
+        classes=(DegreeClass(8, 128), DegreeClass(4, 64)),
+        class_idx=(a.class_idx[0], b.class_idx[0]),
+    )
+    spec = LayeredSpec(algo="OMS", iters=3, schedule="colored")
+    dec = make_gather_decoder(code, spec, interpret=True, chunked=True)
+    llrs = _llrs(code.N, 3, seed=13)
+    bits, _ = dec(llrs)
+    layers = build_layers(code, "colored")
+    view = LdpcCode(
+        name="irr-view",
+        N=code.N,
+        K=code.K,
+        classes=tuple(DegreeClass(l.deg, l.idx.shape[0]) for l in layers),
+        class_idx=tuple(l.idx for l in layers),
+    )
+    refs, _ = decode_oracle(view, llrs, GoldenParams(algo="OMS", iters=3))
+    np.testing.assert_array_equal(np.asarray(bits), refs)

@@ -104,6 +104,20 @@ def test_sweep_real_encoder():
     assert res.points[0].frames >= 128
 
 
+def test_sweep_real_encoder_info_count():
+    """Regression: encoder + count_bits='info' together (the x86
+    analyzer's configuration, CErrorAnalyzer.cpp:131).  The info slice
+    inside the jitted counter traced its k argument and crashed the
+    first time this path ever ran end-to-end (VERDICT r2 #4)."""
+    cfg = _tiny_cfg(encoder="gf2", count_bits="info",
+                    max_frames=128, snr_max=1.0)
+    res = run_sweep(cfg, progress=False)
+    p = res.points[0]
+    assert p.frames >= 128
+    # info-only counting: be is bounded by frames * K (K=288)
+    assert p.be <= p.frames * 288
+
+
 def test_mid_point_resume_exact(tmp_path):
     """A sweep killed mid-point must resume deterministically: manually
     plant a partial checkpoint equal to batch 0's counters and check the

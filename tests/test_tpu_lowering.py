@@ -70,3 +70,18 @@ def test_qc_kernel_lowers_odd_Z():
     code = load_code("1944x972")
     dec = make_pallas_decoder(code, LayeredSpec(algo="OMS", iters=2))
     _export(dec, 512, code.N)
+
+
+@pytest.mark.parametrize("sub", [8, 4])
+def test_gather_chunked_kernel_lowers(sub):
+    """The chunked gather fallback's novel Mosaic surface: scalar-prefetch
+    SMEM index array, dynamic leading-dim VREG loads/stores on the APP
+    ref, and dynamic 32-row int8 message slices — must lower for both
+    sublane widths, with and without early termination."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    for et in (False, True):
+        dec = make_gather_decoder(
+            code, LayeredSpec(algo="OMS", iters=3, early_term=et),
+            sublanes=sub, chunked=True,
+        )
+        _export(dec, 1024 if sub == 4 else 2048, code.N)

@@ -22,7 +22,10 @@ STEPS=("$@")
 # bench runs FIRST after the probe (secures a non-stale headline figure
 # even if the relay window closes mid-runbook) and again LAST (so the
 # recorded number benefits from the suite's warm compile cache).
-[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe bench suite validate et profile bench)
+# compile (gather-kernel compile pricing) runs BEFORE the suite so a
+# compile-service blowup on the big unrolled kernels is measured, not
+# hit blind inside the timed suite (VERDICT r2 next-step 2).
+[ ${#STEPS[@]} -eq 0 ] && STEPS=(probe bench compile suite validate et profile bench)
 
 run() { # name timeout cmd...
   local name=$1 tmo=$2; shift 2
@@ -37,10 +40,12 @@ for s in "${STEPS[@]}"; do
   case $s in
     probe)
       run probe 120 python -c "import jax; print(jax.devices())" || exit 1 ;;
+    compile)
+      run compile 7200 python tools/hw_validate.py --which compile ;;
     suite)
       run suite 14400 python -m ldpcgputegra_tpu.bench.suite ;;
     validate)
-      run validate 7200 python tools/hw_validate.py ;;
+      run validate 7200 python tools/hw_validate.py --which qc,streamed,gather ;;
     et)
       run et 7200 python tools/run_et_study.py ;;
     profile)

@@ -39,6 +39,9 @@ from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
 STREAMED = [("16200x7560", 1024), ("64800x32400", 256)]
 GATHER = [("4000x2000", 4096), ("8000x4000", 2048), ("9972x4986", 2048)]
+# compile pricing runs smallest-first so a compile-service blowup on the
+# big unrolls still leaves 4000x2000 priced (VERDICT r2 next-step 2)
+COMPILE = ["4000x2000", "8000x4000", "9972x4986"]
 # QC roll kernel vs the XLA reference path ON HARDWARE (interpret-mode
 # bit-exactness is already CPU-tested; this pins the Mosaic compilation)
 QC = [("576x288", 4096), ("1944x972", 2048), ("2304x1152", 2048)]
@@ -94,9 +97,65 @@ def compare_pair(name, batch, back_a, back_b, quick, spec=None):
     return rows
 
 
+def price_compiles(quick: bool) -> list[dict]:
+    """Time the remote backend compile of the gather kernels — unrolled
+    vs chunked — BEFORE any timed suite touches them (VERDICT r2 weak #3:
+    the unrolled kernel's per-check Mosaic op count is a compile-time
+    risk nobody had priced; 9972x4986 unrolls ~70k ops).
+
+    Measures wall seconds of (first call) - (second call) per decoder.
+    With the persistent compile cache enabled a prior session's hit shows
+    up as compile_s ~ 0 — recorded as-is (the cache IS the production
+    path; cold numbers come from the first-ever chip contact).  Appends
+    to benchmarks/COMPILE.md.  A per-code failure (OOM / compile-service
+    timeout) is caught and recorded, not fatal — the chunked variant is
+    the designated fallback.
+    """
+    import time
+
+    from ldpcgputegra_tpu.kernels.pallas_gather import make_gather_decoder
+
+    rows = []
+    for name in COMPILE:
+        code = load_code(name)
+        spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
+        x = _inputs(code, 1024, 1)[0]
+        for variant, kw in (("unrolled", {}), ("chunked", {"chunked": True})):
+            row = {"code": name, "variant": variant}
+            try:
+                dec = make_gather_decoder(code, spec, **kw)
+                t0 = time.perf_counter()
+                jax.block_until_ready(dec(x)[0])
+                t1 = time.perf_counter()
+                jax.block_until_ready(dec(x)[0])
+                t2 = time.perf_counter()
+                row["compile_s"] = round((t1 - t0) - (t2 - t1), 1)
+                row["ok"] = True
+            except Exception as e:  # noqa: BLE001
+                row["ok"] = False
+                row["error"] = f"{type(e).__name__}: {e}"[:300]
+            rows.append(row)
+            print("(COMPILE) " + json.dumps(row), flush=True)
+        if quick:
+            break
+    out = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                       "COMPILE.md")
+    hdr = not os.path.exists(out)
+    with open(out, "a") as f:
+        if hdr:
+            f.write("# Gather-kernel compile pricing (remote compile "
+                    "service)\n\nFirst-call minus second-call wall "
+                    "seconds; ~0 = persistent-cache hit.\n\n"
+                    "| code | variant | compile_s | ok |\n|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['code']} | {r['variant']} "
+                    f"| {r.get('compile_s', '—')} | {r['ok']} |\n")
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", default="qc,streamed,gather")
+    ap.add_argument("--which", default="compile,qc,streamed,gather")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     from ldpcgputegra_tpu.utils import (
@@ -112,16 +171,36 @@ def main() -> None:
     enable_compile_cache()
     which = set(args.which.split(","))
 
+    compile_rows = []
+    if "compile" in which:
+        compile_rows = price_compiles(args.quick)
+
+    def safe(name, batch, a, b):
+        # a compile-service failure on one pair must not forfeit the rest
+        # of a hardware window; bit-mismatch still aborts (SystemExit)
+        try:
+            return compare_pair(name, batch, a, b, args.quick)
+        except SystemExit:
+            raise
+        except Exception as e:  # noqa: BLE001
+            print(f"(EE) {name} {a} vs {b} failed: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            return []
+
     all_rows = []
     if "qc" in which:
         for name, batch in QC:
-            all_rows += compare_pair(name, batch, "pallas", "xla", args.quick)
+            all_rows += safe(name, batch, "pallas", "xla")
     if "streamed" in which:
         for name, batch in STREAMED:
-            all_rows += compare_pair(name, batch, "pallas", "pallas-streamed", args.quick)
+            all_rows += safe(name, batch, "pallas", "pallas-streamed")
     if "gather" in which:
         for name, batch in GATHER:
-            all_rows += compare_pair(name, batch, "pallas-gather", "xla", args.quick)
+            all_rows += safe(name, batch, "pallas-gather", "xla")
+            # the chunked fallback must be proven bit-exact + timed on
+            # silicon too — it is the designated answer if the unrolled
+            # compile blows up (VERDICT r2 next-step 2)
+            all_rows += safe(name, batch, "pallas-gather-chunked", "xla")
 
     dev = jax.devices()[0].device_kind
     write_header = not os.path.exists(OUT)
