@@ -81,6 +81,27 @@ CURVES = [
     # as the 64800 family at 1/4 the block).  CPU probe: FER 1.0 at 1.2
     # dB, 0.20 at 1.6, 2.8e-4 at 2.0
     ("16200x7560", "OMS", 10, 1.0, 2.2, 0.2, 1024),
+    # ---- all-zero-codeword blind-spot closure (VERDICT r2 #4) ----
+    # real random info bits through the imported DVB table encoder
+    # (GenericEncoder semantics, `GenericEncoder.cpp:38-78`) with
+    # info-bit counting (`CErrorAnalyzer.cpp:131`), overlaid on its
+    # all-zero twin at the same counting — the two curves must coincide
+    # within statistics.  CPU probe (coded): FER 0.91 at 2.0 dB,
+    # 9.2e-3 at 2.4, <2e-4 at 2.8
+    ("16200x10800", "OMS", 10, 1.8, 2.8, 0.2, 1024,
+     {"tag": "zero-info", "count_bits": "info"}),
+    ("16200x10800", "OMS", 10, 1.8, 2.8, 0.2, 1024,
+     {"tag": "coded-info", "encoder": "table", "random_bits": True,
+      "count_bits": "info"}),
+    # QPSK with random GF(2)-encoded bits (`CChanelAWGN_x86.cpp:100-118`):
+    # the reference's ±1/√2-per-dimension mapping at BPSK's sigma formula
+    # puts the curve 3.01 dB right of BPSK, plus a small extra loss from
+    # the FIXED factor-8 quantizer (effective LLR scale 8/√2) — verified
+    # against the all-zero QPSK twin (coincide) and BPSK (shift+quantizer),
+    # see BER_NOTES.md.  Grid = BPSK grid + 3.01 dB for direct overlay.
+    ("576x288", "OMS", 10, 3.51, 6.51, 0.5, 16384,
+     {"tag": "qpsk-coded", "qpsk": True, "encoder": "gf2",
+      "random_bits": True}),
 ]
 
 BENCH_DIR = os.path.join(os.path.dirname(__file__), "..", "benchmarks")
@@ -154,7 +175,11 @@ def write_md() -> str:
     lines = [
         "# BER/FER waterfalls (fixed-point layered decoding)\n",
         "\nAWGN, BPSK, all-zero codeword, factor-8 int8 LLRs (+/-31), "
-        "adaptive FE limit, early termination on.  Curves are "
+        "adaptive FE limit, early termination on — except where a "
+        "curve's title says otherwise (the `coded` curves decode REAL "
+        "random info bits through a real encoder, the `qpsk` curve uses "
+        "the reference's QPSK mapping; these close the all-zero-codeword "
+        "validation blind spot).  Curves are "
         "backend-independent by construction (all decode paths are "
         "bit-exact vs the golden oracles and each other; the channel is "
         "counter-based threefry, platform-deterministic), so TPU- and "
@@ -184,8 +209,16 @@ def write_md() -> str:
     )
     for cur in curves:
         title = f"{cur['code']} — {cur['algo']}, {cur['iters']} iterations"
-        if cur.get("tag") == "rayleigh":
-            title += ", Rayleigh fading (perfect CSI)"
+        tag_titles = {
+            "rayleigh": ", Rayleigh fading (perfect CSI)",
+            "zero-info": ", all-zero codeword, info-bit counting",
+            "coded-info": ", RANDOM info bits via the DVB table encoder, "
+                          "info-bit counting",
+            "qpsk-coded": ", QPSK, random GF(2)-encoded bits "
+                          "(grid = BPSK grid + 3.01 dB)",
+        }
+        if cur.get("tag") in tag_titles:
+            title += tag_titles[cur["tag"]]
         elif cur.get("tag"):
             title += f", {cur['tag']}"
         lines.append(f"\n## {title}\n\n")
