@@ -114,6 +114,49 @@ def decode_row(name: str, backend: str, batch: int, iters: int = 10):
     return row
 
 
+def z_twin(Z2: int):
+    """The decisive structure-vs-alignment A/B: 1944x972's OWN base
+    matrix (same 12 block-rows, same 86 block-edges, same degree profile)
+    re-expanded at an 8-ALIGNED Z.  If the twin's per-edge time matches
+    the aligned neighbors, the deficit is the Z=81 sublane misalignment
+    (unaligned pltpu.roll + 81->88 padding); if it matches 1944x972, the
+    deficit is the code's structure (more block-edges per row) and the
+    roll is innocent."""
+    from ldpcgputegra_tpu.codes.registry import make_qc_code
+
+    code = load_code("1944x972")
+    nb = code.N // code.Z
+    base = np.full((len(code.layers), nb), -1, dtype=np.int64)
+    for r, lay in enumerate(code.layers):
+        for c, s in zip(np.asarray(lay.qc.cols), np.asarray(lay.qc.shifts)):
+            base[r, int(c)] = int(s) % Z2
+    return make_qc_code(f"1944twin-Z{Z2}", base, Z2)
+
+
+def decode_row_code(code, backend: str, batch: int, iters: int = 10):
+    spec = LayeredSpec(algo="OMS", iters=iters, early_term=False)
+    dec = make_decoder(code, spec, backend=backend)
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    chan.configure(2.0)
+    inputs = [
+        chan.generate_zero_int8(jax.random.key(50 + i), batch)
+        for i in range(6)
+    ]
+    sec = measure_call(dec, inputs, k_small=4, k_large=20)
+    rep = throughput_report(sec, batch, code.N)
+    per_edge_ps = sec / (batch * code.M * iters) * 1e12
+    row = {
+        "code": code.name,
+        "backend": backend,
+        "batch": batch,
+        "ms_per_call": round(rep["ms_per_call"], 3),
+        "coded_mbps": round(rep["coded_mbps"], 1),
+        "ps_per_edge_iter_frame": round(per_edge_ps, 3),
+    }
+    print("(PERF) " + json.dumps(row), flush=True)
+    return row
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", action="store_true",
@@ -153,6 +196,10 @@ def main() -> None:
         decode_row("576x288", "pallas", 16384),
         decode_row("2304x1152", "pallas", 8192),
         decode_row("1944x972", "pallas", 8192),
+        # 8-aligned twins of 1944x972's OWN base matrix: same block
+        # structure, only Z changes — isolates alignment from structure
+        decode_row_code(z_twin(88), "pallas", 8192),
+        decode_row_code(z_twin(96), "pallas", 8192),
         decode_row("1944x972", "pallas-gather", 8192),
         decode_row("1944x972", "xla", 8192),
     ]
