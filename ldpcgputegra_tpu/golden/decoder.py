@@ -48,6 +48,9 @@ class GoldenParams:
     algo: str = "OMS"  # MS | OMS | NMS | 2NMS
     iters: int = 10
     offset: int = 1  # OMS beta
+    # NMS factors; must be exact multiples of 1/32 (the reference's x86
+    # fixed path is `-NMS <factor>` -> VECTOR_MUL + DIV32, main_p.cpp:293;
+    # the accelerated paths and the native oracle compute (min*f*32)>>5)
     nms_factor: float = 0.75
     nms_factor2: float = 0.875  # 2NMS second factor
     early_term: bool = False

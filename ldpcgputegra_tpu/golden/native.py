@@ -60,7 +60,8 @@ def _load() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_int, i32p, ctypes.c_int,
         i8p, ctypes.c_int, ctypes.c_int, i8p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i32p,
     ]
     lib.ldpc_decode_golden.restype = None
     lib.ldpc_syndrome_ok.argtypes = [
@@ -121,6 +122,10 @@ def decode_golden_native(
         1 if params.minclamp == "pre" else 0,
         1 if params.early_term else 0,
         params.sat_var, params.sat_msg,
+        # float factors are /32-exact by contract (GoldenParams docstring);
+        # the native oracle computes (min * f32) >> 5
+        int(round(params.nms_factor * 32)),
+        int(round(params.nms_factor2 * 32)),
         _p32(used),
     )
     return out, used

@@ -87,9 +87,9 @@ def _f_consts(min1, min2, spec: LayeredSpec):
         f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), spec.sat_msg)
         return f1, f2
     if spec.algo == "NMS":
-        return (min2 * 3) >> 2, (min1 * 3) >> 2
+        return (min2 * spec.nms_f) >> 5, (min1 * spec.nms_f) >> 5
     if spec.algo == "2NMS":
-        return (min2 * 7) >> 3, (min1 * 3) >> 2
+        return (min2 * spec.nms_f2) >> 5, (min1 * spec.nms_f) >> 5
     raise ValueError(f"unknown algo {spec.algo!r}")
 
 

@@ -21,8 +21,10 @@ inline int sat(int v, int s) { return v < -s ? -s : (v > s ? s : v); }
 
 enum Algo { MS = 0, OMS = 1, NMS = 2, TWO_NMS = 3 };
 
+// nms_f / nms_f2: NMS normalization factors in 1/32 units (x86 reference
+// `-NMS <factor>` fixed path, VECTOR_MUL + DIV32; CUDA defaults 24 / 28).
 inline void f_consts(int algo, int offset, int min1, int min2, int sat_msg,
-                     int* f1, int* f2) {
+                     int nms_f, int nms_f2, int* f1, int* f2) {
   switch (algo) {
     case MS:
       *f1 = min2 < sat_msg ? min2 : sat_msg;
@@ -37,12 +39,12 @@ inline void f_consts(int algo, int offset, int min1, int min2, int sat_msg,
       return;
     }
     case NMS:
-      *f1 = (min2 * 3) >> 2;
-      *f2 = (min1 * 3) >> 2;
+      *f1 = (min2 * nms_f) >> 5;
+      *f2 = (min1 * nms_f) >> 5;
       return;
     case TWO_NMS:
-      *f1 = (min2 * 7) >> 3;
-      *f2 = (min1 * 3) >> 2;
+      *f1 = (min2 * nms_f2) >> 5;
+      *f2 = (min1 * nms_f) >> 5;
       return;
   }
   *f1 = *f2 = 0;
@@ -62,7 +64,7 @@ void ldpc_decode_golden(const int32_t* class_degs, const int32_t* class_counts,
                         const int8_t* llr, int frames, int n, int8_t* out_bits,
                         int algo, int iters, int offset, int minclamp_pre,
                         int early_term, int sat_var, int sat_msg,
-                        int32_t* iters_used) {
+                        int nms_f, int nms_f2, int32_t* iters_used) {
   const int kSatVar = sat_var;
   const int kSatMsg = sat_msg;
   std::vector<int> v(n);
@@ -97,7 +99,8 @@ void ldpc_decode_golden(const int32_t* class_degs, const int32_t* class_counts,
             parity ^= (vc > 0) ? 1 : 0;
           }
           int f1, f2;
-          f_consts(algo, offset, min1, min2, kSatMsg, &f1, &f2);
+          f_consts(algo, offset, min1, min2, kSatMsg, nms_f, nms_f2,
+                   &f1, &f2);
           for (int j = 0; j < deg; ++j) {
             int vc = contrib[j];
             int a = minclamp_pre ? abs(sat(vc, kSatMsg)) : abs(vc);

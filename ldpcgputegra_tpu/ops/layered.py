@@ -53,6 +53,13 @@ class LayeredSpec:
     early_term: bool = False
     minclamp: str = "pre"  # 'pre' = x86 oracle, 'post' = GPU kernels
     schedule: str = "auto"  # reference | colored | auto
+    # NMS normalization factors in 1/32 units (the reference's x86 fixed
+    # path: `-NMS <factor>` -> VECTOR_MUL + DIV32, default 29 in main_p.cpp
+    # :136; the CUDA kernels hard-code 24 (=0.75) and 28 (=0.875), which
+    # are the defaults here).  nms_f scales min1 (and min2 for plain NMS);
+    # nms_f2 scales min2 in 2NMS.
+    nms_f: int = 24
+    nms_f2: int = 28
     # configurable quantization ranges (-var/-msg; setVarRange/setMsgRange)
     sat_var: int = SAT_VAR
     sat_msg: int = SAT_MSG
@@ -72,6 +79,12 @@ class LayeredSpec:
                 f"sat_msg={self.sat_msg}: accelerated paths store messages "
                 "as int8, so msg quantizer width is limited to 8 bits "
                 "(sat_msg <= 127)"
+            )
+        if not (0 < self.nms_f <= 32 and 0 < self.nms_f2 <= 32):
+            raise ValueError(
+                f"nms_f={self.nms_f}, nms_f2={self.nms_f2}: NMS factors "
+                "are 1/32 units in (0, 32] (1.0 max, like the reference's "
+                "DIV32 fixed path)"
             )
 
 
@@ -93,9 +106,9 @@ def _f_consts(min1, min2, spec: LayeredSpec):
         f2 = jnp.minimum(jnp.maximum(min1 - spec.offset, 0), spec.sat_msg)
         return f1, f2
     if spec.algo == "NMS":
-        return (min2 * 3) >> 2, (min1 * 3) >> 2
+        return (min2 * spec.nms_f) >> 5, (min1 * spec.nms_f) >> 5
     if spec.algo == "2NMS":
-        return (min2 * 7) >> 3, (min1 * 3) >> 2
+        return (min2 * spec.nms_f2) >> 5, (min1 * spec.nms_f) >> 5
     raise ValueError(f"unknown algo {spec.algo!r}")
 
 

@@ -31,6 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--iters", type=int, default=10, help="-iter equivalent")
     g.add_argument("--offset", type=int, default=1, help="OMS beta")
     g.add_argument(
+        "--nms-factor", dest="nms_f", type=int, default=24,
+        help="NMS normalization in 1/32 units (reference `-NMS <f>` fixed "
+        "path; x86 default 29, CUDA kernels 24)",
+    )
+    g.add_argument(
+        "--nms-factor2", dest="nms_f2", type=int, default=28,
+        help="2NMS second factor in 1/32 units (CUDA 2NMS: 28)",
+    )
+    g.add_argument(
         "--no-early-term", dest="early_term", action="store_false",
         help="disable syndrome early termination",
     )
@@ -155,7 +164,8 @@ def _print_info(cfg: SweepConfig) -> None:
     eff = effective_code(code)
     spec = LayeredSpec(algo=cfg.algo, iters=cfg.iters, offset=cfg.offset,
                        early_term=cfg.early_term, minclamp=cfg.minclamp,
-                       schedule=cfg.schedule)
+                       schedule=cfg.schedule, nms_f=cfg.nms_f,
+                       nms_f2=cfg.nms_f2)
     backend = backend_for(code, spec, cfg.backend)
     print(f"(II) devices      : {jax.devices()}")
     print(f"(II) code         : N={eff.N} K={eff.K} M={eff.M} "

@@ -50,6 +50,8 @@ class SweepConfig:
     algo: str = "OMS"  # MS | OMS | NMS | 2NMS
     iters: int = 10
     offset: int = 1
+    nms_f: int = 24  # NMS factor, 1/32 units (`-NMS <f>`; x86 default 29)
+    nms_f2: int = 28  # 2NMS second factor
     early_term: bool = True
     minclamp: str = "pre"
     schedule: str = "auto"
@@ -150,6 +152,8 @@ def run_sweep(
         algo=cfg.algo,
         iters=cfg.iters,
         offset=cfg.offset,
+        nms_f=cfg.nms_f,
+        nms_f2=cfg.nms_f2,
         early_term=cfg.early_term,
         minclamp=cfg.minclamp,
         schedule=cfg.schedule,

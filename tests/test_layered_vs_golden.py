@@ -134,3 +134,51 @@ def test_node_major_decode_path():
     bits_fm = np.asarray(d_fm(llrs)[0])
     bits_nm = np.asarray(d_nm(llrs.T)[0])
     np.testing.assert_array_equal(bits_fm, bits_nm.T)
+
+
+@pytest.mark.parametrize("nf,nf2", [(29, 29), (26, 30)])
+def test_nms_runtime_factor_bit_exact(nf, nf2):
+    """Runtime-parameterized NMS factor (the x86 reference's `-NMS <f>`
+    fixed path: VECTOR_MUL + DIV32, default 29 — main_p.cpp:136,293):
+    the XLA decoder, the NumPy golden model and the native C++ oracle
+    must agree bit-for-bit at non-default factors, for NMS and 2NMS."""
+    from ldpcgputegra_tpu.golden.native import (
+        decode_golden_native,
+        native_available,
+    )
+
+    code = load_code("576x288")
+    llrs = _random_llrs(code.N, 4, seed=77)
+    for algo in ("NMS", "2NMS"):
+        spec = LayeredSpec(algo=algo, iters=5, minclamp="post",
+                           schedule="reference", nms_f=nf, nms_f2=nf2)
+        bits = np.asarray(make_layered_decoder(code, spec)(llrs)[0])
+        gp = GoldenParams(algo=algo, iters=5, minclamp="post",
+                          nms_factor=nf / 32.0, nms_factor2=nf2 / 32.0)
+        refs_py = np.empty_like(llrs)
+        for i in range(llrs.shape[0]):
+            refs_py[i], _ = decode_golden(code, llrs[i], gp)
+        np.testing.assert_array_equal(bits, refs_py)
+        if native_available():
+            refs_nat, _ = decode_golden_native(code, llrs, gp)
+            np.testing.assert_array_equal(bits, refs_nat)
+    # defaults unchanged: nms_f=24/nms_f2=28 == the old (x*3)>>2/(x*7)>>3
+    spec_d = LayeredSpec(algo="2NMS", iters=5, minclamp="post",
+                         schedule="reference")
+    assert (spec_d.nms_f, spec_d.nms_f2) == (24, 28)
+
+
+def test_nms_runtime_factor_pallas_interpret():
+    """The Pallas QC kernel honors nms_f/nms_f2 (same _f_consts change,
+    separate code path) — interpret-mode vs the XLA decoder."""
+    code = load_code("576x288")
+    llrs = _random_llrs(code.N, 2, seed=78)
+    from ldpcgputegra_tpu.kernels import make_pallas_decoder
+
+    spec = LayeredSpec(algo="2NMS", iters=4, minclamp="post",
+                       schedule="reference", nms_f=29, nms_f2=31)
+    bits_x = np.asarray(make_layered_decoder(code, spec)(llrs)[0])
+    bits_p = np.asarray(
+        make_pallas_decoder(code, spec, interpret=True)(llrs)[0]
+    )
+    np.testing.assert_array_equal(bits_x, bits_p)
