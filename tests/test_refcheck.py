@@ -39,7 +39,10 @@ from ldpcgputegra_tpu.golden import GoldenParams  # noqa: E402
 from ldpcgputegra_tpu.golden.decoder import decode_golden  # noqa: E402
 
 VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
-VECTORS = sorted(glob.glob(os.path.join(VEC_DIR, "refcheck_*.npz")))
+VECTORS = sorted(
+    p for p in glob.glob(os.path.join(VEC_DIR, "refcheck_*.npz"))
+    if "nms_sse" not in os.path.basename(p)  # those have their own tests
+)
 _CODES = [os.path.basename(p)[len("refcheck_"):-len(".npz")] for p in VECTORS]
 
 
@@ -107,3 +110,67 @@ def test_committed_vectors_are_authentic(tmp_path):
         early=bool(cfg[2]), sat_var=int(cfg[3]), sat_msg=int(cfg[4]),
     )
     np.testing.assert_array_equal(ref, d["bits_2"])
+
+
+NMS_VECTORS = sorted(
+    glob.glob(os.path.join(VEC_DIR, "refcheck_nms_sse_*.npz"))
+)
+_NMS_CODES = [
+    os.path.basename(p)[len("refcheck_nms_sse_"):-len(".npz")]
+    for p in NMS_VECTORS
+]
+
+
+def test_nms_refcheck_vectors_exist():
+    assert set(_NMS_CODES) >= {"576x288", "1944x972"}
+
+
+@pytest.mark.parametrize("name", _NMS_CODES)
+def test_golden_nms_matches_reference_sse_vectors(name):
+    """The runtime-factor NMS semantics vs the reference's COMPILED SSE
+    NMS decoder (CDecoder_NMS_fixed_SSE.cpp built unmodified): factor f/32
+    via VECTOR_MUL+DIV32, msg-clamp before the min reduction ('pre'),
+    across iteration counts and factors 24/29/31 (CUDA default / x86
+    default / near-MS).  Vectors: tools/refcheck/gen_nms_vectors.py."""
+    d = np.load(os.path.join(VEC_DIR, f"refcheck_nms_sse_{name}.npz"))
+    code = _code_from_npz(d, name)
+    llr = d["llr"]
+    for ci, (iters, factor) in enumerate(d["configs"]):
+        gp = GoldenParams(
+            algo="NMS", iters=int(iters), minclamp="pre",
+            nms_factor=int(factor) / 32.0, early_term=False,
+        )
+        got = np.stack(
+            [decode_golden(code, llr[b], gp)[0] for b in range(len(llr))]
+        )
+        np.testing.assert_array_equal(
+            got.astype(np.int8), d[f"bits_{ci}"],
+            err_msg=f"{name} iters={iters} factor={factor} diverges from "
+            "the compiled reference SSE NMS decoder",
+        )
+
+
+@pytest.mark.skipif(
+    not (reference_available() and compiler_available()),
+    reason="needs g++ and /root/reference",
+)
+def test_committed_nms_vectors_are_authentic(tmp_path):
+    """Rebuild the SSE NMS reference binary and regenerate one config."""
+    from refcheck.build import (
+        build_nms_sse_oracle,
+        parse_x86_code,
+        run_nms_sse_oracle,
+    )
+
+    name = "576x288"
+    d = np.load(os.path.join(VEC_DIR, f"refcheck_nms_sse_{name}.npz"))
+    ref_code = parse_x86_code(name)
+    emb_code = _code_from_npz(d, name)
+    assert emb_code.N == ref_code.N
+    for a, b in zip(emb_code.class_idx, ref_code.class_idx):
+        np.testing.assert_array_equal(a, b)
+    binary = build_nms_sse_oracle(name, str(tmp_path))
+    iters, factor = d["configs"][3]  # iters=10 factor=29 (x86 default)
+    ref = run_nms_sse_oracle(binary, d["llr"], iters=int(iters),
+                             factor=int(factor))
+    np.testing.assert_array_equal(ref, d["bits_3"])

@@ -102,6 +102,127 @@ def run_oracle(binary: str, llr, iters: int, offset: int, early: bool,
     return np.frombuffer(p.stdout, np.int8).reshape(b, n).copy()
 
 
+REF_X86 = "/root/reference/code/x86"
+
+# registry code name -> x86 constantes dir (these tables can differ from
+# BOTH the gpu_fixed registry imports and the ARM tree)
+X86_CODE_DIRS = {
+    "576x288": "576x288",
+    "1944x972": "1944x972",
+    "2304x1152": "2304x1152",
+}
+
+_SOURCES_NMS_SSE = [
+    "CDecoder/template/CDecoder.cpp",
+    "CDecoder/template/CDecoder_fixed.cpp",
+    "CDecoder/template/CDecoder_fixed_SSE.cpp",
+    "CDecoder/NMS/CDecoder_NMS_fixed_SSE.cpp",
+    "CTools/CTools.cpp",
+]
+
+
+def build_nms_sse_oracle(code_name: str, workdir: str) -> str:
+    """Compile the reference's SSE fixed-point NMS decoder UNMODIFIED for
+    ``code_name``; returns the binary path.  Same pre-include selection
+    trick as ``build_oracle`` but against the x86 tree."""
+    const_dir = os.path.join(REF_X86, "Constantes", X86_CODE_DIRS[code_name])
+    select_h = os.path.join(const_dir, "constantes_sse.h")
+    if not os.path.exists(select_h):
+        raise FileNotFoundError(select_h)
+    os.makedirs(workdir, exist_ok=True)
+    fb = os.path.join(workdir, "Constantes")
+    os.makedirs(fb, exist_ok=True)
+    with open(os.path.join(fb, "constantes_sse.h"), "w") as f:
+        f.write(f'#include "{select_h}"\n')
+
+    objs = []
+    base_flags = [
+        "g++", "-O2", "-w", "-msse4.2",
+        "-include", select_h,
+        "-I", workdir,
+        "-I", os.path.join(REF_X86, "CDecoder"),
+    ]
+    for src in _SOURCES_NMS_SSE:
+        obj = os.path.join(workdir, os.path.basename(src) + ".sse.o")
+        subprocess.run(
+            base_flags + ["-c", os.path.join(REF_X86, src), "-o", obj],
+            check=True, capture_output=True,
+        )
+        objs.append(obj)
+    drv = os.path.join(os.path.dirname(__file__), "driver_nms_sse.cpp")
+    obj = os.path.join(workdir, "driver_nms_sse.o")
+    subprocess.run(
+        base_flags + ["-c", drv, "-o", obj], check=True, capture_output=True
+    )
+    objs.append(obj)
+    binary = os.path.join(workdir, f"ref_nms_sse_{code_name}")
+    subprocess.run(["g++", "-o", binary] + objs, check=True,
+                   capture_output=True)
+    return binary
+
+
+def run_nms_sse_oracle(binary: str, llr, iters: int, factor: int,
+                       sat_var: int = 127, sat_msg: int = 31):
+    """Run the SSE NMS reference binary on [B, N] int8 LLRs -> bits.
+    B must be a multiple of 16 (the decoder packs 16 frames per vector)."""
+    import numpy as np
+
+    llr = np.asarray(llr, np.int8)
+    b, n = llr.shape
+    p = subprocess.run(
+        [binary, str(b), str(iters), str(factor), str(sat_var),
+         str(sat_msg)],
+        input=llr.tobytes(), capture_output=True, check=True,
+    )
+    return np.frombuffer(p.stdout, np.int8).reshape(b, n).copy()
+
+
+def parse_x86_table(code_name: str):
+    """Parse the x86 constantes PosNoeudsVariable table -> flat VN indices."""
+    import re
+
+    import numpy as np
+
+    path = os.path.join(
+        REF_X86, "Constantes", X86_CODE_DIRS[code_name], "constantes_sse.h"
+    )
+    with open(path) as f:
+        text = f.read()
+    m = re.search(
+        r"PosNoeudsVariable\s*\[\s*\d+\s*\]\s*=\s*\{(.*?)\}", text, re.S
+    )
+    body = re.sub(r"/\*.*?\*/", "", m.group(1), flags=re.S)
+    return np.array(
+        [int(t) for t in re.findall(r"-?\d+", body)], dtype=np.int64
+    )
+
+
+def parse_x86_code(code_name: str):
+    """Build an LdpcCode from the x86 constantes header (macros + table)."""
+    import re
+
+    from ldpcgputegra_tpu.codes.code import LdpcCode
+
+    path = os.path.join(
+        REF_X86, "Constantes", X86_CODE_DIRS[code_name], "constantes_sse.h"
+    )
+    with open(path) as f:
+        text = f.read()
+
+    def macro(name):
+        return int(re.search(rf"#define\s+{name}\s+(-?\d+)", text).group(1))
+
+    n, ndeg = macro("_N"), macro("NB_DEGRES")
+    classes = [
+        (macro(f"DEG_{i}"), macro(f"DEG_{i}_COMPUTATIONS"))
+        for i in range(1, ndeg + 1)
+    ]
+    edges = parse_x86_table(code_name)
+    return LdpcCode.from_edges(
+        f"x86-{code_name}", n, None, classes, edges, detect_qc=False
+    )
+
+
 def parse_arm_table(code_name: str):
     """Parse the ARM constantes PosNoeudsVariable table -> flat VN indices."""
     import re
