@@ -31,7 +31,7 @@ from refcheck.build import (  # noqa: E402
 VEC_DIR = os.path.join(
     os.path.dirname(__file__), "..", "..", "tests", "vectors"
 )
-CODES = ["576x288", "1944x972"]
+CODES = ["576x288", "1944x972", "2304x1152"]
 # (iters, factor/32): 24 = the CUDA kernels' 0.75, 29 = the x86 default
 # (main_p.cpp:136), 31 ~ plain min-sum
 CONFIGS = [(3, 24), (10, 24), (3, 29), (10, 29), (5, 31)]
