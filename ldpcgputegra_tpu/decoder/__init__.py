@@ -73,6 +73,12 @@ def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
     return pick_sublanes(code, spec) != 0
 
 
+def _gather_chunked_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
+    from ..kernels.pallas_gather import pick_sublanes
+
+    return pick_sublanes(code, spec, chunked=True) != 0
+
+
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:
     from ..kernels import pallas_supported
     from ..kernels.pallas_gather import gather_supported
@@ -82,8 +88,13 @@ def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str
         if _on_tpu():
             if pallas_supported(code, spec):
                 return "pallas" if _pallas_fits(code) else "pallas-streamed"
-            if gather_supported(code, spec) and _gather_fits(code, spec):
-                return "pallas-gather"
+            if gather_supported(code, spec):
+                if _gather_fits(code, spec):
+                    return "pallas-gather"
+                if _gather_chunked_fits(code, spec):
+                    # quarter-VREG chunked tile: the only fused path that
+                    # holds the 20000x10000 working set
+                    return "pallas-gather-chunked"
         return "xla"
     return backend
 

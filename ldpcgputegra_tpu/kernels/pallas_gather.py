@@ -126,9 +126,11 @@ def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
 def pick_sublanes(code: LdpcCode, spec: LayeredSpec,
                   budget: int = 100 << 20, chunked: bool = False) -> int:
     """8 sublanes (full-VREG rows) when the working set fits, else 4
-    (half-VREG loads, half the VMEM — lets 8000x4000/9972x4986 in)."""
+    (half-VREG loads, half the VMEM — lets 8000x4000/9972x4986 in).
+    The chunked kernel additionally supports 2 (quarter-VREG, which fits
+    the 20000x10000 working set that no other fused path can hold)."""
     size = chunked_vmem_bytes if chunked else gather_vmem_bytes
-    for sub in (8, 4):
+    for sub in (8, 4, 2) if chunked else (8, 4):
         if size(code, spec, sub) <= budget:
             return sub
     return 0
@@ -461,7 +463,7 @@ def make_gather_decoder(
         sub = sublanes if sublanes is not None else pick_sublanes(
             code, spec, chunked=True
         )
-        assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"
+        assert sub in (2, 4, 8), f"{code.name}: no sublane tile fits VMEM"
         chunk = 32 // sub
         layers, bases, msg_rows, vn_idx_np = _plan_chunked(code, spec, chunk)
         kernel = _build_chunked_kernel(code, spec, layers, bases, sub, chunk)

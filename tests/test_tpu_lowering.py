@@ -85,3 +85,14 @@ def test_gather_chunked_kernel_lowers(sub):
             sublanes=sub, chunked=True,
         )
         _export(dec, 1024 if sub == 4 else 2048, code.N)
+
+
+def test_gather_chunked_kernel_lowers_sublane2():
+    """sub=2 chunked tile (chunk=16): quarter-VREG dynamic loads on the
+    int32 APP ref — the 20000x10000 rescue configuration must lower."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    dec = make_gather_decoder(
+        code, LayeredSpec(algo="OMS", iters=3, early_term=True),
+        sublanes=2, chunked=True,
+    )
+    _export(dec, 512, code.N)

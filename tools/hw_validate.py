@@ -38,10 +38,13 @@ from ldpcgputegra_tpu.ops.layered import LayeredSpec  # noqa: E402
 from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
 STREAMED = [("16200x7560", 1024), ("64800x32400", 256)]
-GATHER = [("4000x2000", 4096), ("8000x4000", 2048), ("9972x4986", 2048)]
+# 20000x10000 has no unrolled tile (VMEM); its pallas-gather pair fails
+# fast (caught) and the chunked sub=2 pair is the real A/B there
+GATHER = [("4000x2000", 4096), ("8000x4000", 2048), ("9972x4986", 2048),
+          ("20000x10000", 1024)]
 # compile pricing runs smallest-first so a compile-service blowup on the
 # big unrolls still leaves 4000x2000 priced (VERDICT r2 next-step 2)
-COMPILE = ["4000x2000", "8000x4000", "9972x4986"]
+COMPILE = ["4000x2000", "8000x4000", "9972x4986", "20000x10000"]
 # QC roll kernel vs the XLA reference path ON HARDWARE (interpret-mode
 # bit-exactness is already CPU-tested; this pins the Mosaic compilation)
 QC = [("576x288", 4096), ("1944x972", 2048), ("2304x1152", 2048)]
