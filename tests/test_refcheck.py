@@ -41,7 +41,7 @@ from ldpcgputegra_tpu.golden.decoder import decode_golden  # noqa: E402
 VEC_DIR = os.path.join(os.path.dirname(__file__), "vectors")
 VECTORS = sorted(
     p for p in glob.glob(os.path.join(VEC_DIR, "refcheck_*.npz"))
-    if "nms_sse" not in os.path.basename(p)  # those have their own tests
+    if "_sse_" not in os.path.basename(p)  # SSE vectors have their own tests
 )
 _CODES = [os.path.basename(p)[len("refcheck_"):-len(".npz")] for p in VECTORS]
 
@@ -174,3 +174,37 @@ def test_committed_nms_vectors_are_authentic(tmp_path):
     ref = run_nms_sse_oracle(binary, d["llr"], iters=int(iters),
                              factor=int(factor))
     np.testing.assert_array_equal(ref, d["bits_3"])
+
+
+OMS_SSE_VECTORS = sorted(
+    glob.glob(os.path.join(VEC_DIR, "refcheck_oms_sse_*.npz"))
+)
+_OMS_SSE_CODES = [
+    os.path.basename(p)[len("refcheck_oms_sse_"):-len(".npz")]
+    for p in OMS_SSE_VECTORS
+]
+
+
+@pytest.mark.parametrize("name", _OMS_SSE_CODES)
+def test_golden_oms_matches_reference_sse_vectors(name):
+    """The golden OMS semantics vs the reference's COMPILED SSE OMS
+    decoder (CDecoder_OMS_fixed_SSE.cpp built unmodified; the vsubus
+    offset-with-underflow-to-zero SIMD form) across iters x offsets.
+    The scalar-OMS refcheck pins the x86 scalar decoder; this pins the
+    production SIMD one (D8).  Vectors: tools/refcheck/gen_sse_vectors.py."""
+    d = np.load(os.path.join(VEC_DIR, f"refcheck_oms_sse_{name}.npz"))
+    code = _code_from_npz(d, name)
+    llr = d["llr"]
+    for ci, (iters, offset) in enumerate(d["configs"]):
+        gp = GoldenParams(
+            algo="OMS", iters=int(iters), offset=int(offset),
+            minclamp="pre", early_term=False,
+        )
+        got = np.stack(
+            [decode_golden(code, llr[b], gp)[0] for b in range(len(llr))]
+        )
+        np.testing.assert_array_equal(
+            got.astype(np.int8), d[f"bits_{ci}"],
+            err_msg=f"{name} iters={iters} offset={offset} diverges from "
+            "the compiled reference SSE OMS decoder",
+        )

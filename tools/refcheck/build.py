@@ -161,6 +161,67 @@ def build_nms_sse_oracle(code_name: str, workdir: str) -> str:
     return binary
 
 
+_SOURCES_OMS_SSE = [
+    "CDecoder/template/CDecoder.cpp",
+    "CDecoder/template/CDecoder_fixed.cpp",
+    "CDecoder/template/CDecoder_fixed_SSE.cpp",
+    "CDecoder/OMS/CDecoder_OMS_fixed_SSE.cpp",
+    "CTools/CTools.cpp",
+]
+
+
+def build_oms_sse_oracle(code_name: str, workdir: str) -> str:
+    """Compile the reference's SSE fixed-point OMS decoder UNMODIFIED."""
+    const_dir = os.path.join(REF_X86, "Constantes", X86_CODE_DIRS[code_name])
+    select_h = os.path.join(const_dir, "constantes_sse.h")
+    if not os.path.exists(select_h):
+        raise FileNotFoundError(select_h)
+    os.makedirs(workdir, exist_ok=True)
+    fb = os.path.join(workdir, "Constantes")
+    os.makedirs(fb, exist_ok=True)
+    with open(os.path.join(fb, "constantes_sse.h"), "w") as f:
+        f.write(f'#include "{select_h}"\n')
+
+    objs = []
+    base_flags = [
+        "g++", "-O2", "-w", "-msse4.2",
+        "-include", select_h,
+        "-I", workdir,
+        "-I", os.path.join(REF_X86, "CDecoder"),
+    ]
+    for src in _SOURCES_OMS_SSE:
+        obj = os.path.join(workdir, os.path.basename(src) + ".omssse.o")
+        subprocess.run(
+            base_flags + ["-c", os.path.join(REF_X86, src), "-o", obj],
+            check=True, capture_output=True,
+        )
+        objs.append(obj)
+    drv = os.path.join(os.path.dirname(__file__), "driver_oms_sse.cpp")
+    obj = os.path.join(workdir, "driver_oms_sse.o")
+    subprocess.run(
+        base_flags + ["-c", drv, "-o", obj], check=True, capture_output=True
+    )
+    objs.append(obj)
+    binary = os.path.join(workdir, f"ref_oms_sse_{code_name}")
+    subprocess.run(["g++", "-o", binary] + objs, check=True,
+                   capture_output=True)
+    return binary
+
+
+def run_oms_sse_oracle(binary: str, llr, iters: int, offset: int,
+                       sat_msg: int = 31):
+    """Run the SSE OMS reference binary on [B, N] int8 LLRs -> bits."""
+    import numpy as np
+
+    llr = np.asarray(llr, np.int8)
+    b, n = llr.shape
+    p = subprocess.run(
+        [binary, str(b), str(iters), str(offset), str(sat_msg)],
+        input=llr.tobytes(), capture_output=True, check=True,
+    )
+    return np.frombuffer(p.stdout, np.int8).reshape(b, n).copy()
+
+
 def run_nms_sse_oracle(binary: str, llr, iters: int, factor: int,
                        sat_var: int = 127, sat_msg: int = 31):
     """Run the SSE NMS reference binary on [B, N] int8 LLRs -> bits.

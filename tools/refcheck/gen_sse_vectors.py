@@ -1,14 +1,14 @@
 #!/usr/bin/env python3
-"""Generate committed NMS-SSE refcheck vectors (tests/vectors/
-refcheck_nms_sse_<code>.npz): outputs of the reference's COMPILED SSE
-fixed-point NMS decoder (built unmodified by build_nms_sse_oracle) on
-fixed-seed LLR batches across iteration counts and normalization factors.
+"""Generate committed SSE refcheck vectors: outputs of the reference's
+COMPILED SSE fixed-point decoders (built unmodified) on fixed-seed LLR
+batches — refcheck_nms_sse_<code>.npz (iters x normalization factors)
+and refcheck_oms_sse_<code>.npz (iters x offsets).
 
 Needs g++ and /root/reference; the committed npz makes the bit-equality
 test self-contained everywhere else (mirrors the scalar-OMS refcheck
 vectors).  Run from the repo root:
 
-    python tools/refcheck/gen_nms_vectors.py
+    python tools/refcheck/gen_sse_vectors.py
 """
 
 from __future__ import annotations
@@ -24,17 +24,21 @@ import numpy as np  # noqa: E402
 
 from refcheck.build import (  # noqa: E402
     build_nms_sse_oracle,
+    build_oms_sse_oracle,
     parse_x86_code,
     run_nms_sse_oracle,
+    run_oms_sse_oracle,
 )
 
 VEC_DIR = os.path.join(
     os.path.dirname(__file__), "..", "..", "tests", "vectors"
 )
 CODES = ["576x288", "1944x972", "2304x1152"]
-# (iters, factor/32): 24 = the CUDA kernels' 0.75, 29 = the x86 default
-# (main_p.cpp:136), 31 ~ plain min-sum
+# NMS (iters, factor/32): 24 = the CUDA kernels' 0.75, 29 = the x86
+# default (main_p.cpp:136), 31 ~ plain min-sum
 CONFIGS = [(3, 24), (10, 24), (3, 29), (10, 29), (5, 31)]
+# OMS (iters, offset): offset 1 is the default beta, 0 degenerates to MS
+OMS_CONFIGS = [(3, 1), (10, 1), (5, 0), (5, 2)]
 
 
 def main() -> None:
@@ -63,6 +67,17 @@ def main() -> None:
         path = os.path.join(VEC_DIR, f"refcheck_nms_sse_{name}.npz")
         np.savez_compressed(path, **out)
         print(f"wrote {path} ({len(CONFIGS)} configs, 16 frames)")
+
+        binary_o = build_oms_sse_oracle(name, wd)
+        out_o = {k: v for k, v in out.items() if not k.startswith("bits_")}
+        out_o["configs"] = np.asarray(OMS_CONFIGS, np.int64)
+        for ci, (iters, offset) in enumerate(OMS_CONFIGS):
+            out_o[f"bits_{ci}"] = run_oms_sse_oracle(
+                binary_o, llr, iters=iters, offset=offset
+            )
+        path = os.path.join(VEC_DIR, f"refcheck_oms_sse_{name}.npz")
+        np.savez_compressed(path, **out_o)
+        print(f"wrote {path} ({len(OMS_CONFIGS)} configs, 16 frames)")
 
 
 if __name__ == "__main__":
