@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""CPU head-to-head: this framework's XLA CPU decoder vs the REFERENCE'S
+OWN COMPILED SSE decoders, same host, same single pinned core, same H.
+
+The reference's x86 production path (D8/D9: CDecoder_OMS_fixed_SSE /
+CDecoder_NMS_fixed_SSE, 16 frames per __m128i vector) is compiled
+UNMODIFIED with the reference's own CMake flags (-O3 -march=native,
+``code/x86/CMakeLists.txt:10``) and bench-looped in-process (the
+per-call transpose is part of its decode path — T1; IO is excluded).
+Our side jits the SAME x86-header H through ``make_layered_decoder`` on
+the CPU backend (lane-batched), plus the registry QC H for the roll
+path.  Both sides run under ``taskset -c <cpu>`` so the comparison is
+per-core; an unpinned all-cores row is reported for ours as well.
+
+This is a live benchmark that needs no TPU relay: it measures the
+framework against the reference's own binary on hardware both can run.
+
+Usage: python tools/cpu_headtohead.py [--cpu 0] [--quick]
+Writes benchmarks/CPU_HEADTOHEAD.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+CODES = ["576x288", "1944x972", "2304x1152"]
+ITERS = 10
+OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                   "CPU_HEADTOHEAD.md")
+
+_OURS_SNIPPET = r"""
+import time, json, sys
+import numpy as np
+from ldpcgputegra_tpu.utils import apply_platform_env
+apply_platform_env()
+sys.path.insert(0, "tools")
+from refcheck.build import parse_x86_code
+from ldpcgputegra_tpu.codes.registry import load_code
+from ldpcgputegra_tpu.ops.layered import LayeredSpec, make_layered_decoder
+
+name, algo, batch, which = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+schedule = sys.argv[5] if len(sys.argv) > 5 else "reference"
+code = parse_x86_code(name) if which == "x86" else load_code(name)
+spec = LayeredSpec(algo=algo, iters=10, offset=1, nms_f=29,
+                   minclamp="pre", early_term=False, schedule=schedule)
+dec = make_layered_decoder(code, spec)
+rng = np.random.default_rng(1)
+xs = [np.clip(8.0 * rng.normal(-1.0, 0.9, size=(batch, code.N)), -31, 31)
+      .astype(np.int8) for _ in range(4)]
+import jax
+jax.block_until_ready(dec(xs[0])[0])  # compile
+best = float("inf")
+for r in range(5):
+    t0 = time.perf_counter()
+    for x in xs:
+        out = dec(x)[0]
+    jax.block_until_ready(out)
+    best = min(best, (time.perf_counter() - t0) / len(xs))
+print(json.dumps({"sec_per_call": best, "batch": batch, "N": code.N}))
+"""
+
+
+def bench_ours(name: str, algo: str, batch: int, cpu: int | None,
+               which: str = "x86", schedule: str = "reference") -> dict:
+    cmd = [sys.executable, "-c", _OURS_SNIPPET, name, algo, str(batch),
+           which, schedule]
+    if cpu is not None:
+        cmd = ["taskset", "-c", str(cpu)] + cmd
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo:/root/.axon_site")
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=os.path.join(os.path.dirname(__file__), ".."))
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr[-500:])
+    d = json.loads(p.stdout.strip().splitlines()[-1])
+    sec, n = d["sec_per_call"], d["N"]
+    return {
+        "frames_per_s": batch / sec,
+        "coded_mbps": batch * n / sec / 1e6,
+    }
+
+
+def bench_ref(binary: str, n: int, iters: int, algo_args: list[str],
+              reps: int, cpu: int | None) -> dict:
+    """Run the reference binary's bench loop (16 frames/call)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    llr = np.clip(8.0 * rng.normal(-1.0, 0.9, size=(16, n)), -31, 31
+                  ).astype(np.int8)
+    cmd = [binary, "16", str(iters)] + algo_args + [str(reps)]
+    if cpu is not None:
+        cmd = ["taskset", "-c", str(cpu)] + cmd
+    p = subprocess.run(cmd, input=llr.tobytes(), capture_output=True,
+                       check=True)
+    m = re.search(rb"BENCH_SECONDS ([0-9.]+)", p.stderr)
+    sec = float(m.group(1)) / reps
+    return {
+        "frames_per_s": 16 / sec,
+        "coded_mbps": 16 * n / sec / 1e6,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="core to pin both sides to")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    from refcheck.build import (
+        build_nms_sse_oracle,
+        build_oms_sse_oracle,
+        parse_x86_code,
+    )
+
+    wd = tempfile.mkdtemp(prefix="headtohead_")
+    rows = []
+    for name in CODES[: 1 if args.quick else None]:
+        n = parse_x86_code(name).N
+        batch = 4096 if n < 3000 else 2048
+        reps = 200 if args.quick else 2000
+        for algo, build, algo_args in (
+            ("OMS", build_oms_sse_oracle, ["1", "31"]),
+            ("NMS", build_nms_sse_oracle, ["29", "127", "31"]),
+        ):
+            binary = build(name, wd, opt=True)
+            ref = bench_ref(binary, n, ITERS, algo_args, reps, args.cpu)
+            # same H, reference check order (bit-exact twin of theirs)
+            ours = bench_ours(name, algo, batch, args.cpu)
+            # same H, colored schedule (fewer, wider conflict-free layers
+            # — the schedule the TPU gather kernel uses)
+            ours_col = bench_ours(name, algo, batch, args.cpu,
+                                  schedule="colored")
+            # registry QC H of the same family: the roll-based layered
+            # path (the reference's own gpu_fixed H instance)
+            ours_qc = bench_ours(name, algo, batch, args.cpu,
+                                 which="registry", schedule="auto")
+            ours_all = bench_ours(name, algo, batch, None,
+                                  which="registry", schedule="auto")
+            row = {
+                "code": name, "algo": algo, "iters": ITERS,
+                "ref_sse_mbps_1core": round(ref["coded_mbps"], 1),
+                "ours_xla_mbps_1core": round(ours["coded_mbps"], 1),
+                "ours_xla_colored_mbps_1core":
+                    round(ours_col["coded_mbps"], 1),
+                "ours_xla_qc_mbps_1core": round(ours_qc["coded_mbps"], 1),
+                "ours_xla_qc_mbps_allcores":
+                    round(ours_all["coded_mbps"], 1),
+                "speedup_1core_best": round(
+                    max(ours["coded_mbps"], ours_col["coded_mbps"],
+                        ours_qc["coded_mbps"]) / ref["coded_mbps"], 2),
+            }
+            rows.append(row)
+            print("(PERF) " + json.dumps(row), flush=True)
+
+    with open(OUT, "w") as f:
+        f.write("# CPU head-to-head vs the reference's compiled SSE "
+                "decoders\n\n")
+        f.write(
+            "Same host, same H (the x86 constantes tables), 10 layered "
+            "iterations, coded-bit throughput.  Reference: "
+            "CDecoder_{OMS,NMS}_fixed_SSE compiled unmodified with its "
+            "own flags (-O3 -march=native), decode loop timed in-process "
+            "(transpose included, IO excluded), single pinned core.  "
+            "Ours: the XLA CPU backend of the SAME layered decoder the "
+            "TPU path uses (lane-batched), same pinned core — plus an "
+            "all-cores row (XLA threads; the reference scales cores via "
+            "separate processes instead).\n\n")
+        f.write("| code | algo | ref SSE (1 core) | ours ref-order "
+                "(1 core) | ours colored (1 core) | ours QC-roll "
+                "(1 core) | ours QC (all cores) | best/ref (1 core) |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(
+                f"| {r['code']} | {r['algo']} | {r['ref_sse_mbps_1core']} "
+                f"| {r['ours_xla_mbps_1core']} "
+                f"| {r['ours_xla_colored_mbps_1core']} "
+                f"| {r['ours_xla_qc_mbps_1core']} "
+                f"| {r['ours_xla_qc_mbps_allcores']} "
+                f"| {r['speedup_1core_best']}x |\n"
+            )
+        f.write("\nRaw records:\n\n```json\n")
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("```\n")
+    print(f"(II) wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,10 +121,12 @@ _SOURCES_NMS_SSE = [
 ]
 
 
-def build_nms_sse_oracle(code_name: str, workdir: str) -> str:
+def build_nms_sse_oracle(code_name: str, workdir: str,
+                         opt: bool = False) -> str:
     """Compile the reference's SSE fixed-point NMS decoder UNMODIFIED for
     ``code_name``; returns the binary path.  Same pre-include selection
-    trick as ``build_oracle`` but against the x86 tree."""
+    trick as ``build_oracle`` but against the x86 tree.  ``opt=True``
+    uses the reference's own CMake flags (-O3 -march=native)."""
     const_dir = os.path.join(REF_X86, "Constantes", X86_CODE_DIRS[code_name])
     select_h = os.path.join(const_dir, "constantes_sse.h")
     if not os.path.exists(select_h):
@@ -137,7 +139,8 @@ def build_nms_sse_oracle(code_name: str, workdir: str) -> str:
 
     objs = []
     base_flags = [
-        "g++", "-O2", "-w", "-msse4.2",
+        "g++", "-w", "-msse4.2",
+        *(("-O3", "-march=native") if opt else ("-O2",)),
         "-include", select_h,
         "-I", workdir,
         "-I", os.path.join(REF_X86, "CDecoder"),
@@ -170,8 +173,11 @@ _SOURCES_OMS_SSE = [
 ]
 
 
-def build_oms_sse_oracle(code_name: str, workdir: str) -> str:
-    """Compile the reference's SSE fixed-point OMS decoder UNMODIFIED."""
+def build_oms_sse_oracle(code_name: str, workdir: str,
+                         opt: bool = False) -> str:
+    """Compile the reference's SSE fixed-point OMS decoder UNMODIFIED.
+    ``opt=True`` uses the reference's own CMake flags (-O3 -march=native,
+    CMakeLists.txt:10) — for head-to-head benching, not vector checks."""
     const_dir = os.path.join(REF_X86, "Constantes", X86_CODE_DIRS[code_name])
     select_h = os.path.join(const_dir, "constantes_sse.h")
     if not os.path.exists(select_h):
@@ -184,7 +190,8 @@ def build_oms_sse_oracle(code_name: str, workdir: str) -> str:
 
     objs = []
     base_flags = [
-        "g++", "-O2", "-w", "-msse4.2",
+        "g++", "-w", "-msse4.2",
+        *(("-O3", "-march=native") if opt else ("-O2",)),
         "-include", select_h,
         "-I", workdir,
         "-I", os.path.join(REF_X86, "CDecoder"),

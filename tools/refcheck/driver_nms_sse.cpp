@@ -16,7 +16,11 @@
 //
 // stdin:  frames x _N int8 LLRs (binary; frames % 16 == 0)
 // stdout: frames x _N int8 hard bits (binary)
-// argv:   frames iters factor [sat_var sat_msg]
+// argv:   frames iters factor [sat_var sat_msg [bench_reps]]
+//
+// bench_reps > 0: re-decode the last block bench_reps times and print
+// "BENCH_SECONDS <s>" on stderr (see driver_oms_sse.cpp).
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <vector>
@@ -35,6 +39,7 @@ int main(int argc, char **argv) {
     int factor = atoi(argv[3]);
     int sat_var = (argc > 4) ? atoi(argv[4]) : SAT_POS_VAR;
     int sat_msg = (argc > 5) ? atoi(argv[5]) : SAT_POS_MSG;
+    int bench_reps = (argc > 6) ? atoi(argv[6]) : 0;
     if (frames % 16) {
         fprintf(stderr, "frames must be a multiple of 16 (SSE lanes)\n");
         return 2;
@@ -56,6 +61,15 @@ int main(int argc, char **argv) {
             out[i] = out[i] > 0 ? 1 : 0;
         }
         fwrite(out.data(), 1, out.size(), stdout);
+    }
+    if (bench_reps > 0) {
+        auto t0 = std::chrono::steady_clock::now();
+        for (int r = 0; r < bench_reps; ++r) {
+            dec.decode(in.data(), out.data(), iters);
+        }
+        std::chrono::duration<double> dt =
+            std::chrono::steady_clock::now() - t0;
+        fprintf(stderr, "BENCH_SECONDS %.6f\n", dt.count());
     }
     return 0;
 }

@@ -6,7 +6,14 @@
 //
 // stdin:  frames x _N int8 LLRs (binary; frames % 16 == 0)
 // stdout: frames x _N int8 hard bits (binary)
-// argv:   frames iters offset [sat_msg]
+// argv:   frames iters offset [sat_msg [bench_reps]]
+//
+// bench_reps > 0: after the normal decode pass, re-decode the LAST
+// 16-frame block bench_reps more times and print
+// "BENCH_SECONDS <s>" on stderr — a pure decode-loop timing of the
+// reference's own code (the per-call transpose is part of its decode
+// path, T1), with IO excluded.
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 #include <vector>
@@ -23,6 +30,7 @@ int main(int argc, char **argv) {
     int iters = atoi(argv[2]);
     int offset = atoi(argv[3]);
     int sat_msg = (argc > 4) ? atoi(argv[4]) : SAT_POS_MSG;
+    int bench_reps = (argc > 5) ? atoi(argv[5]) : 0;
     if (frames % 16) {
         fprintf(stderr, "frames must be a multiple of 16 (SSE lanes)\n");
         return 2;
@@ -44,6 +52,15 @@ int main(int argc, char **argv) {
             out[i] = out[i] > 0 ? 1 : 0;
         }
         fwrite(out.data(), 1, out.size(), stdout);
+    }
+    if (bench_reps > 0) {
+        auto t0 = std::chrono::steady_clock::now();
+        for (int r = 0; r < bench_reps; ++r) {
+            dec.decode(in.data(), out.data(), iters);
+        }
+        std::chrono::duration<double> dt =
+            std::chrono::steady_clock::now() - t0;
+        fprintf(stderr, "BENCH_SECONDS %.6f\n", dt.count());
     }
     return 0;
 }
