@@ -42,6 +42,8 @@ CONFIGS = [
     ("576x288", 16384, [3.0, 3.5]),
     ("1944x972", 8192, [2.25, 2.75]),
     ("2304x1152", 8192, [2.0, 2.5]),
+    # the non-QC gather-path family (SNRs at FER ~4e-3 / ~2e-4 per BER.md)
+    ("4000x2000", 4096, [2.0, 2.25]),
 ]
 ALGOS = ["2NMS", "OMS"]
 
@@ -56,7 +58,18 @@ def noisy_inputs(code, batch, snr, n, seed0=0):
 
 
 def convergence_stats(code, algo, mc, inputs):
-    """P(frame converged after <= k iterations) at this operating point.
+    """P(frame converged WITHIN <= k iterations) at this operating point.
+
+    Measured with ``early_term=True`` so a frame that converges is FROZEN
+    at its first convergence (per-lane freeze): the fraction is then
+    monotone in k by construction.  Decoding at a fixed depth k instead
+    measures "syndrome OK at depth k", which is NOT the same thing —
+    2NMS on the (3,6)-regular 4000x2000 actually UNDOES convergence at
+    deeper fixed iteration counts (P(ok at 6) = 0.96 vs P(ok at 10) =
+    0.70 at 2.25 dB), so the un-frozen stat under-reports the ET
+    opportunity exactly where ET matters most (the reference's
+    production config is 2NMS + EARLY_TERM=1, CUDA_2NMS_SIMD.cu:17,
+    whose per-thread break freezes the same way).
 
     Backend-independent (decoders are bit-exact across backends), so this
     half of the study can be measured on CPU while throughput waits for
@@ -65,7 +78,10 @@ def convergence_stats(code, algo, mc, inputs):
     ok = syndrome_fn(code)
     conv = {}
     for k in (4, 5, 6, 10):
-        dk = make_decoder(code, LayeredSpec(algo=algo, iters=k, minclamp=mc))
+        dk = make_decoder(
+            code,
+            LayeredSpec(algo=algo, iters=k, minclamp=mc, early_term=True),
+        )
         conv[k] = float(np.asarray(ok(dk(inputs[0])[0])).mean())
     return conv
 
@@ -145,6 +161,17 @@ def conv_only(out):
             "whole-tile predication only helps once EVERY lane in a tile "
             "has converged.  Throughput at these operating points is "
             "measured on hardware (tools/hw_runbook.sh et -> ET.md).\n\n"
+            "Measured with the per-lane early-termination FREEZE (a "
+            "converged frame keeps its first-convergence bits), which is "
+            "what makes the fraction monotone in k.  Without the freeze "
+            "the stat is 'syndrome OK at exactly depth k', and that is "
+            "materially different where ET matters most: 2NMS on the "
+            "(3,6)-regular 4000x2000 UNDOES convergence as fixed-depth "
+            "decoding continues (ok-at-6 = 0.957 vs ok-at-10 = 0.696 at "
+            "2.25 dB) — deep unfrozen 2NMS iterations actively hurt this "
+            "code, so the reference's production EARLY_TERM (per-thread "
+            "break, CUDA_2NMS_SIMD.cu:17) and this framework's freeze "
+            "are correctness features there, not just speed.\n\n"
         )
         f.write("| code | algo | SNR (dB) | P(<=4) | P(<=5) | P(<=6) "
                 "| P(<=10) |\n|---|---|---|---|---|---|---|\n")
