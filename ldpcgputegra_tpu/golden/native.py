@@ -23,6 +23,9 @@ __all__ = [
     "decode_golden_native",
     "syndrome_ok_native",
     "encode_accumulate_native",
+    "simd_available",
+    "decode_simd_native",
+    "awgn_quantize_native",
 ]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
@@ -74,6 +77,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, i8p, ctypes.c_int,
     ]
     lib.ldpc_encode_accumulate.restype = None
+    lib.ldpc_simd_lanes.argtypes = []
+    lib.ldpc_simd_lanes.restype = ctypes.c_int
+    lib.ldpc_decode_simd.argtypes = [
+        i32p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        i8p, ctypes.c_int, ctypes.c_int, i8p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i32p,
+    ]
+    lib.ldpc_decode_simd.restype = None
+    lib.ldpc_awgn_quantize.argtypes = [
+        ctypes.c_uint64, ctypes.c_uint64, i8p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int, i8p,
+    ]
+    lib.ldpc_awgn_quantize.restype = None
     _lib = lib
     return _lib
 
@@ -167,3 +186,73 @@ def syndrome_ok_native(code: LdpcCode, bits: np.ndarray) -> np.ndarray:
         _p8(bits), b, n, _p8(ok),
     )
     return ok.astype(bool)
+
+
+def simd_available() -> bool:
+    """True when liboracle.so was built with AVX-512BW (64-lane path)."""
+    lib = _load()
+    return lib is not None and int(lib.ldpc_simd_lanes()) > 0
+
+
+def decode_simd_native(
+    code: LdpcCode,
+    llr: np.ndarray,
+    params: GoldenParams = GoldenParams(),
+) -> tuple[np.ndarray, int]:
+    """Batched AVX-512 decode: llr [B, N] int8 -> (bits [B, N] int8,
+    iters_used int) — 64 frames per vector, OpenMP over blocks, per-lane
+    early-termination freeze.  Bit-for-bit identical to
+    ``decode_golden`` / the JAX paths (tests/test_native_oracle.py)."""
+    lib = _load()
+    assert lib is not None and int(lib.ldpc_simd_lanes()) > 0, (
+        "SIMD decoder unavailable (no AVX-512BW build)"
+    )
+    llr = np.ascontiguousarray(llr, np.int8)
+    if llr.ndim == 1:
+        llr = llr[None, :]
+    b, n = llr.shape
+    assert n == code.N
+    degs, counts, edges = _code_arrays(code)
+    out = np.empty((b, n), np.int8)
+    used = np.zeros(1, np.int32)
+    lib.ldpc_decode_simd(
+        _p32(degs), _p32(counts), len(code.classes),
+        _p32(edges), edges.size,
+        _p8(llr), b, n, _p8(out),
+        _ALGO_IDS[params.algo], params.iters, params.offset,
+        1 if params.minclamp == "pre" else 0,
+        1 if params.early_term else 0,
+        params.sat_var, params.sat_msg,
+        int(round(params.nms_factor * 32)),
+        int(round(params.nms_factor2 * 32)),
+        used.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, int(used[0])
+
+
+def awgn_quantize_native(
+    seed: int,
+    stream: int,
+    frames: int,
+    n: int,
+    sigma: float,
+    factor: float,
+    sat: int = 31,
+    coded: Optional[np.ndarray] = None,
+    amp: float = 1.0,
+) -> np.ndarray:
+    """Counter-based Philox AWGN + BPSK/QPSK(amp) + trunc-quantize (the
+    native C2 analogue).  Deterministic in (seed, stream, frame, position);
+    statistically identical to channel.awgn's threefry path (different
+    stream) — see tests/test_native_oracle.py's distribution check."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    out = np.empty((frames, n), np.int8)
+    cptr = _p8(np.ascontiguousarray(coded, np.int8)) if coded is not None \
+        else ctypes.POINTER(ctypes.c_int8)()
+    lib.ldpc_awgn_quantize(
+        ctypes.c_uint64(seed), ctypes.c_uint64(stream), cptr,
+        frames, n, ctypes.c_float(amp), ctypes.c_float(sigma),
+        ctypes.c_float(factor), int(sat), _p8(out),
+    )
+    return out

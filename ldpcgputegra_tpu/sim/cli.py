@@ -54,8 +54,18 @@ def build_parser() -> argparse.ArgumentParser:
              "for the same BER, fastest for unstructured codes)",
     )
     g.add_argument(
-        "--backend", default="auto", choices=["auto", "pallas", "xla"],
-        help="decoder backend (pallas = fused TPU kernel for QC codes)",
+        "--backend", default="auto",
+        choices=["auto", "pallas", "xla", "native"],
+        help="decoder backend (pallas = fused TPU kernel for QC codes; "
+        "native = AVX-512 host decoder — CPU Monte-Carlo workhorse, "
+        "bit-checked against the jitted path per point)",
+    )
+    p.add_argument(
+        "--channel-rng", dest="channel_rng", default="threefry",
+        choices=["threefry", "philox"],
+        help="with --backend native: philox = native counter-based "
+        "channel (~7x faster wall clock; different stream, statistically "
+        "identical)",
     )
 
     s = p.add_argument_group("SNR sweep")

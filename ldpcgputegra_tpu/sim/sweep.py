@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from collections import deque
@@ -76,7 +77,12 @@ class SweepConfig:
     qef_fer: Optional[float] = None  # sweep cutoff (-qef)
     pipeline_depth: int = 2  # batches kept in flight (multi-stream analogue)
 
-    backend: str = "auto"  # auto | pallas | xla
+    backend: str = "auto"  # auto | pallas | xla | native
+    # channel generator for backend='native': 'threefry' replays the jax
+    # channel exactly (counters bit-match a backend='auto' sweep);
+    # 'philox' uses the native counter-based generator (~7x faster wall
+    # clock, statistically identical stream — for deep-tail top-ups)
+    channel_rng: str = "threefry"
     encoder: str = "fake"  # fake | table | staircase | gf2 | auto
     random_bits: bool = True  # -random (ignored for fake encoder)
     quant_factor: int = 8
@@ -160,7 +166,67 @@ def run_sweep(
         sat_var=(1 << (cfg.var_bits - 1)) - 1,
         sat_msg=(1 << (cfg.msg_bits - 1)) - 1,
     )
-    decoder = make_decoder(code, spec, backend=cfg.backend)
+    use_native = cfg.backend == "native"
+    if use_native:
+        # AVX-512 host decoder (golden/native.py): ~20-50x the XLA CPU
+        # path, which makes deep-tail Monte-Carlo feasible.  Guard rails:
+        # it decodes the ORIGINAL H in the SAME check order as the jitted
+        # decoder would (schedule-view code below), and batch 0 of every
+        # point is cross-decoded by the jitted path and asserted
+        # bit-identical — so native-measured points can extend
+        # jitted-path curves without mixing estimators.
+        from ..codes.code import DegreeClass
+        from ..codes.schedule import build_layers
+        from ..decoder import effective_code
+        from ..golden import GoldenParams
+        from ..golden.native import (
+            awgn_quantize_native,
+            decode_simd_native,
+            simd_available,
+        )
+
+        assert simd_available(), (
+            "backend='native' needs the AVX-512 liboracle build"
+        )
+        assert effective_code(code) is code, (
+            f"{code.name}: backend='native' is not available for QC-view "
+            "staircase codes (the jitted paths decode the permuted QC "
+            "view in a different check order; use backend='auto')"
+        )
+        from ..codes.code import LdpcCode as _LC
+
+        _layers = build_layers(code, spec.schedule)
+        sched_view = _LC(
+            name=code.name + "-sched", N=code.N, K=code.K,
+            classes=tuple(
+                DegreeClass(l.deg, l.idx.shape[0]) for l in _layers
+            ),
+            class_idx=tuple(l.idx for l in _layers),
+        )
+        gp = GoldenParams(
+            algo=cfg.algo, iters=cfg.iters, offset=cfg.offset,
+            nms_factor=cfg.nms_f / 32.0, nms_factor2=cfg.nms_f2 / 32.0,
+            early_term=cfg.early_term, minclamp=cfg.minclamp,
+            sat_var=(1 << (cfg.var_bits - 1)) - 1,
+            sat_msg=(1 << (cfg.msg_bits - 1)) - 1,
+        )
+        decoder = make_decoder(code, spec, backend="auto")  # cross-check
+
+        def native_decode(llr_np):
+            return decode_simd_native(sched_view, llr_np, gp)
+
+        # native Philox channel (C2 analogue) wherever the spec allows;
+        # jax threefry channel otherwise (fading/normalize/injection).
+        # The streams differ but are statistically identical (pinned by
+        # tests); either way the decode is bit-checked per point.
+        native_chan = (
+            cfg.channel_rng == "philox"
+            and chan_spec.fading == "none" and not chan_spec.normalize
+            and not chan_spec.no_channel and chan_spec.inject_flip_p == 0.0
+        )
+        native_amp = (1.0 / math.sqrt(2.0)) if cfg.qpsk else 1.0
+    else:
+        decoder = make_decoder(code, spec, backend=cfg.backend)
     is_fake = isinstance(encoder, FakeEncoder)
 
     base_key = jax.random.key(cfg.seed)
@@ -225,14 +291,62 @@ def run_sweep(
         # channel key is fold_in(fold_in(seed, point), k), so dispatch
         # order never affects results and a resume re-dispatches
         # deterministically.
+        xchecked = [False]
+
         def dispatch(k: int):
             key = jax.random.fold_in(jax.random.fold_in(base_key, pi), k)
             if is_fake:
-                return sim_step_fake(key, channel.sigma, channel.factor)
-            rng = np.random.default_rng((cfg.seed, pi, k))
-            info = generate_info_bits(rng, cfg.batch, code.K, cfg.random_bits)
-            coded = encoder.encode(info)
-            return sim_step_coded(key, channel.sigma, channel.factor, coded)
+                if not use_native:
+                    return sim_step_fake(key, channel.sigma, channel.factor)
+                coded = None
+                if native_chan:
+                    llr = awgn_quantize_native(
+                        cfg.seed, (pi << 32) | k, cfg.batch, code.N,
+                        sigma=channel.sigma, factor=channel.factor,
+                        sat=quant.sat, amp=native_amp,
+                    )
+                else:
+                    llr = np.asarray(_gen_zero(
+                        key, (cfg.batch, code.N), channel.sigma,
+                        channel.factor, chan_spec,
+                    ))
+            else:
+                rng = np.random.default_rng((cfg.seed, pi, k))
+                info = generate_info_bits(
+                    rng, cfg.batch, code.K, cfg.random_bits
+                )
+                coded = encoder.encode(info)
+                if not use_native:
+                    return sim_step_coded(
+                        key, channel.sigma, channel.factor, coded
+                    )
+                if native_chan:
+                    llr = awgn_quantize_native(
+                        cfg.seed, (pi << 32) | k, cfg.batch, code.N,
+                        sigma=channel.sigma, factor=channel.factor,
+                        sat=quant.sat, coded=coded, amp=native_amp,
+                    )
+                else:
+                    llr = np.asarray(_gen_int8(
+                        key, coded, channel.sigma, channel.factor, chan_spec
+                    ))
+            bits, _ = native_decode(llr)
+            if not xchecked[0]:
+                # once per point: the jitted path must produce EXACTLY
+                # these bits, or the native point would extend the curve
+                # with a different decoder's statistics
+                ref_bits, _ = decoder(llr)
+                if not np.array_equal(np.asarray(ref_bits, np.int8), bits):
+                    raise AssertionError(
+                        f"{code.name}: native decode diverges from the "
+                        "jitted path on batch 0 — refusing to measure"
+                    )
+                xchecked[0] = True
+            err = (bits != 0) if coded is None else (bits != coded)
+            if info_only:
+                err = err[:, : code.K]
+            be_pf = err.sum(axis=1)
+            return int(be_pf.sum()), int((be_pf != 0).sum())
 
         debug_t = os.environ.get("LDPC_TPU_DEBUG_TIMING") == "1"
         depth = max(1, cfg.pipeline_depth)
@@ -250,9 +364,12 @@ def run_sweep(
             # backends; stacking on device first amortizes it)
             n_fetch = max(1, len(inflight) // 2) if not stop else len(inflight)
             group = [inflight.popleft() for _ in range(n_fetch)]
-            stacked = np.asarray(
-                jnp.stack([jnp.stack([be, fe]) for be, fe in group])
-            )
+            if use_native:  # host ints already; nothing to fetch
+                stacked = np.asarray(group, dtype=np.int64)
+            else:
+                stacked = np.asarray(
+                    jnp.stack([jnp.stack([be, fe]) for be, fe in group])
+                )
             for be_i, fe_i in stacked:
                 analyzer.add_counts(cfg.batch, int(be_i), int(fe_i))
                 batch_idx += 1

@@ -226,3 +226,65 @@ def test_layered_spec_rejects_wide_quantizers():
     with pytest.raises(ValueError):
         LayeredSpec(sat_msg=511)
     LayeredSpec(sat_var=127, sat_msg=31)  # reference defaults stay valid
+
+
+def test_sweep_native_backend_matches_xla():
+    """backend='native' (AVX-512 host decoder) must produce counters
+    IDENTICAL to the jitted path on the same channel keys — same llr
+    (counter-based threefry), bit-identical decode (enforced again at
+    runtime by the sweep's batch-0 cross-check)."""
+    from ldpcgputegra_tpu.golden.native import simd_available
+
+    if not simd_available():
+        import pytest as _pytest
+
+        _pytest.skip("no AVX-512 native build")
+    kw = dict(snr_min=2.0, snr_max=2.0, max_frames=256, batch=128,
+              max_fe=10**9, auto_fe=False)
+    a = run_sweep(_tiny_cfg(backend="native", **kw), progress=False)
+    b = run_sweep(_tiny_cfg(backend="auto", **kw), progress=False)
+    pa, pb = a.points[0], b.points[0]
+    assert (pa.frames, pa.be, pa.fe) == (pb.frames, pb.be, pb.fe)
+
+
+def test_sweep_native_refuses_staircase_view():
+    """QC-view staircase codes decode in a different (permuted) check
+    order on the jitted paths; backend='native' must refuse rather than
+    extend their curves with different-decoder statistics."""
+    from ldpcgputegra_tpu.golden.native import simd_available
+
+    if not simd_available():
+        import pytest as _pytest
+
+        _pytest.skip("no AVX-512 native build")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="native"):
+        run_sweep(
+            _tiny_cfg(code="16200x7560", snr_min=2.0, snr_max=2.0,
+                      max_frames=64, batch=64, backend="native"),
+            progress=False,
+        )
+
+
+def test_sweep_native_philox_channel():
+    """channel_rng='philox' (native counter-based channel): deterministic
+    across runs, and statistically consistent with the threefry channel
+    at a high-FER point (binomial 5-sigma window)."""
+    from ldpcgputegra_tpu.golden.native import simd_available
+
+    if not simd_available():
+        pytest.skip("no AVX-512 native build")
+    kw = dict(snr_min=1.0, snr_max=1.0, max_frames=2048, batch=512,
+              max_fe=10**9, auto_fe=False)
+    a = run_sweep(_tiny_cfg(backend="native", channel_rng="philox", **kw),
+                  progress=False)
+    b = run_sweep(_tiny_cfg(backend="native", channel_rng="philox", **kw),
+                  progress=False)
+    pa, pb = a.points[0], b.points[0]
+    assert (pa.frames, pa.be, pa.fe) == (pb.frames, pb.be, pb.fe)
+    ref = run_sweep(_tiny_cfg(backend="native", **kw), progress=False)
+    pr = ref.points[0]
+    p = pr.fe / pr.frames
+    sigma = (p * (1 - p) / pr.frames) ** 0.5
+    assert abs(pa.fer - pr.fer) < 5 * sigma + 5 / pr.frames, (pa.fer, pr.fer)

@@ -60,6 +60,14 @@ def main() -> None:
     ap.add_argument("--max-fe", type=int, default=100)
     ap.add_argument("--max-frames", type=int, default=40_000_000)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--backend", default="auto",
+                    help="auto | xla | native (AVX-512 host decoder)")
+    ap.add_argument("--channel-rng", default="threefry",
+                    choices=["threefry", "philox"],
+                    help="philox = native counter-based channel (~7x "
+                    "faster; different stream, statistically identical — "
+                    "mixing streams across batches of one point is sound: "
+                    "both draw iid from the same channel law)")
     args = ap.parse_args()
 
     code, algo, iters = args.curve.rsplit("_", 2)
@@ -74,6 +82,8 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
+    if args.backend == "native":
+        backend = "native+" + args.channel_rng
 
     path = os.path.join(DATA_DIR, args.curve + ".json")
     with open(path) as f:
@@ -98,6 +108,8 @@ def main() -> None:
             max_frames=args.max_frames,
             early_term=True,
             checkpoint=ckpt_path,
+            backend=args.backend,
+            channel_rng=args.channel_rng,
         )
         res = run_sweep(cfg, progress=True)
         (p,) = res.points
