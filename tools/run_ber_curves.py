@@ -161,10 +161,13 @@ def run_curve(code, algo, iters, lo, hi, step, batch, max_fe, max_frames,
         "iters": iters,
         "tag": tag,
         # curves are backend-independent by construction (decoders are
-        # bit-exact across backends; the channel is counter-based
-        # threefry, deterministic per platform-independent spec) — the
-        # backend is recorded for provenance only
-        "backend": jax.default_backend(),
+        # bit-exact across backends — the native path is additionally
+        # bit-checked per point; the channel is counter-based threefry or
+        # philox, both deterministic) — recorded for provenance only
+        "backend": (
+            f"native+{cfg.channel_rng}" if cfg.backend == "native"
+            else jax.default_backend()
+        ),
         "points": [
             {
                 "snr_db": p.snr_db,
