@@ -67,10 +67,18 @@ def _pallas_fits(code: LdpcCode) -> bool:
     return tb * vmem_per_lane(code) <= (100 << 20)
 
 
+# Unrolled-gather compile ceiling, measured on the v5e remote compile
+# service (benchmarks/COMPILE.md, round 3): 4000x2000 (12000 edges)
+# compiles in ~68 s; 8000x4000 (24000 edges) crashes the Mosaic backend
+# (HTTP 500, tpu_compile_helper exit 1).  The unrolled kernel emits one
+# VREG load + store per edge, so edge count is the op-count proxy.
+_UNROLL_EDGE_MAX = 16000
+
+
 def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
     from ..kernels.pallas_gather import pick_sublanes
 
-    return pick_sublanes(code, spec) != 0
+    return code.M <= _UNROLL_EDGE_MAX and pick_sublanes(code, spec) != 0
 
 
 def _gather_chunked_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
