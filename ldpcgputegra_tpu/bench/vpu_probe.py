@@ -36,31 +36,47 @@ __all__ = ["OPS_PER_REP", "measure_vpu_rate", "measure_hbm_bw"]
 OPS_PER_REP = 14
 
 
-def _mix_kernel(reps: int, x_ref, o_ref):
-    """`reps` serial repetitions of a decode-shaped op chain on one block."""
-    v = x_ref[...]
-    m = jnp.full_like(v, 3)
-    p = jnp.zeros_like(v)
-    mn = jnp.full_like(v, 128)
+def _mix_kernel(reps: int, lanes: int, x_ref, o_ref):
+    """`reps` repetitions of `lanes` INDEPENDENT decode-shaped op chains.
+
+    One serial chain cannot exercise the VPU's VLIW co-issue: the first
+    live-silicon suite run (round 3) showed real kernels beating the
+    1-chain "ceiling" by 2.2-2.7x, because the decoder has many
+    independent VREG rows in flight where the chain has one.  Interleaving
+    `lanes` independent chains gives the compiler the same co-issue
+    opportunity; the ceiling is the best rate over a lanes sweep.
+    """
+    chains = []
+    for ln in range(lanes):
+        v = x_ref[...] + ln
+        m = jnp.full_like(v, 3 + ln)
+        p = jnp.zeros_like(v)
+        mn = jnp.full_like(v, 128)
+        chains.append((v, m, p, mn))
 
     def body(_, carry):
-        v, m, p, mn = carry
-        c = jnp.clip(v - m, -127, 127)  # sub + clip(2)
-        a = jnp.abs(c)  # abs
-        s = (c > 0).astype(jnp.int32)  # cmp
-        p2 = p ^ s  # xor
-        mn2 = jnp.minimum(jnp.maximum(a, mn), 31)  # max + min
-        mn3 = jnp.minimum(mn2, a)  # min
-        mag = jnp.where(a == mn3, mn2, mn3)  # cmp + select
-        v2 = jnp.clip(c + mag, -127, 127)  # add + clip(2)
-        return v2, m, p2, mn3
+        out = []
+        for v, m, p, mn in carry:
+            c = jnp.clip(v - m, -127, 127)  # sub + clip(2)
+            a = jnp.abs(c)  # abs
+            s = (c > 0).astype(jnp.int32)  # cmp
+            p2 = p ^ s  # xor
+            mn2 = jnp.minimum(jnp.maximum(a, mn), 31)  # max + min
+            mn3 = jnp.minimum(mn2, a)  # min
+            mag = jnp.where(a == mn3, mn2, mn3)  # cmp + select
+            v2 = jnp.clip(c + mag, -127, 127)  # add + clip(2)
+            out.append((v2, m, p2, mn3))
+        return tuple(out)
 
-    v, m, p, mn = jax.lax.fori_loop(0, reps, body, (v, m, p, mn))
-    o_ref[...] = v + p + mn
+    chains = jax.lax.fori_loop(0, reps, body, tuple(chains))
+    acc = jnp.zeros_like(x_ref[...])
+    for v, _, p, mn in chains:
+        acc = acc + v + p + mn
+    o_ref[...] = acc
 
 
-def _probe_fn(reps: int, shape):
-    kernel = functools.partial(_mix_kernel, reps)
+def _probe_fn(reps: int, lanes: int, shape):
+    kernel = functools.partial(_mix_kernel, reps, lanes)
 
     @jax.jit
     def fn(x):
@@ -72,10 +88,8 @@ def _probe_fn(reps: int, shape):
     return fn
 
 
-def measure_vpu_rate(shape=(512, 512), r_small: int = 64,
-                     r_large: int = 512) -> float:
-    """Sustained int32 element-ops/s on the decode op mix (slope over the
-    in-kernel repetition count, dedup-proof via measure_call's salting)."""
+def _measure_rate_lanes(lanes: int, shape, r_small: int,
+                        r_large: int) -> float:
     key = jax.random.key(0)
     inputs = [
         jax.random.randint(jax.random.fold_in(key, i), shape, -31, 32,
@@ -83,12 +97,32 @@ def measure_vpu_rate(shape=(512, 512), r_small: int = 64,
         for i in range(4)
     ]
     n_elem = shape[0] * shape[1]
-    t_small = measure_call(_probe_fn(r_small, shape), inputs,
+    t_small = measure_call(_probe_fn(r_small, lanes, shape), inputs,
                            k_small=2, k_large=8)
-    t_large = measure_call(_probe_fn(r_large, shape), inputs,
+    t_large = measure_call(_probe_fn(r_large, lanes, shape), inputs,
                            k_small=2, k_large=8)
     dt = max(t_large - t_small, 1e-9)
-    return n_elem * OPS_PER_REP * (r_large - r_small) / dt
+    return n_elem * OPS_PER_REP * lanes * (r_large - r_small) / dt
+
+
+def measure_vpu_rate(shape=(256, 512), r_small: int = 64,
+                     r_large: int = 512) -> float:
+    """Sustained int32 element-ops/s on the decode op mix (slope over the
+    in-kernel repetition count, dedup-proof via measure_call's salting).
+
+    Sweeps 1/2/4/8 interleaved independent chains and returns the BEST
+    sustained rate: the roofline ceiling must upper-bound any dependency
+    structure a real kernel can present, and only the multi-chain variants
+    let the VLIW VPU co-issue.  (Block kept at 512 KiB so 8 chains x 4
+    live arrays stay well inside scoped VMEM.)
+    """
+    best = 0.0
+    for lanes in (1, 2, 4, 8):
+        rate = _measure_rate_lanes(lanes, shape, r_small, r_large)
+        print(f"(II) vpu probe lanes={lanes}: {rate/1e12:.2f} Tops/s",
+              flush=True)
+        best = max(best, rate)
+    return best
 
 
 def _copy_fn(mb: int):

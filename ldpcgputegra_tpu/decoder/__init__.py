@@ -67,12 +67,16 @@ def _pallas_fits(code: LdpcCode) -> bool:
     return tb * vmem_per_lane(code) <= (100 << 20)
 
 
-# Unrolled-gather compile ceiling, measured on the v5e remote compile
-# service (benchmarks/COMPILE.md, round 3): 4000x2000 (12000 edges)
-# compiles in ~68 s; 8000x4000 (24000 edges) crashes the Mosaic backend
-# (HTTP 500, tpu_compile_helper exit 1).  The unrolled kernel emits one
-# VREG load + store per edge, so edge count is the op-count proxy.
+# Gather compile ceilings, measured on the v5e remote compile service
+# (benchmarks/COMPILE.md, round 3): the unrolled kernel compiles for
+# 4000x2000 (12000 edges, ~68 s) but crashes the Mosaic backend for
+# 8000x4000 (24000 edges, HTTP 500); the chunked kernel compiles for
+# 8000x4000 (96 KB SMEM index array) but crashes for 9972x4986 (140 KB).
+# The unrolled kernel emits one VREG load + store per edge, and the
+# chunked kernel's SMEM footprint is 4 B/edge, so edge count is the
+# op-count/SMEM proxy for both.
 _UNROLL_EDGE_MAX = 16000
+_CHUNKED_EDGE_MAX = 25000
 
 
 def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
@@ -84,7 +88,8 @@ def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
 def _gather_chunked_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
     from ..kernels.pallas_gather import pick_sublanes
 
-    return pick_sublanes(code, spec, chunked=True) != 0
+    return (code.M <= _CHUNKED_EDGE_MAX
+            and pick_sublanes(code, spec, chunked=True) != 0)
 
 
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:
