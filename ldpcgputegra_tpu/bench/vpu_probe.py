@@ -83,13 +83,29 @@ def _probe_fn(reps: int, lanes: int, shape):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
+            # 8 chains x 4 live [256,512] int32 arrays = 16 MiB of state
+            # plus temps: the 16 MiB default scoped limit OOMs at lanes=8
+            # (seen live round 3); v5e has ~128 MiB physical VMEM.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 << 20,
+            ),
         )(x)
 
     return fn
 
 
 def _measure_rate_lanes(lanes: int, shape, r_small: int,
-                        r_large: int) -> float:
+                        r_large: int) -> float | None:
+    """Rate for one chain count, or None if no trustworthy slope emerged.
+
+    The slope difference must clear a noise floor before the rate is
+    believed: on the relay the first live run produced t_large <= t_small
+    at lanes=1 (sub-ms signal under ~25 ms RTT jitter), and the old 1e-9
+    clamp turned that into an 8e17 ops/s "ceiling" that max() would have
+    adopted.  If the signal is too small the repetition count is doubled
+    (recompile, seconds) until the in-kernel work dominates; degenerate
+    measurements are discarded, never returned.
+    """
     key = jax.random.key(0)
     inputs = [
         jax.random.randint(jax.random.fold_in(key, i), shape, -31, 32,
@@ -97,12 +113,18 @@ def _measure_rate_lanes(lanes: int, shape, r_small: int,
         for i in range(4)
     ]
     n_elem = shape[0] * shape[1]
-    t_small = measure_call(_probe_fn(r_small, lanes, shape), inputs,
-                           k_small=2, k_large=8)
-    t_large = measure_call(_probe_fn(r_large, lanes, shape), inputs,
-                           k_small=2, k_large=8)
-    dt = max(t_large - t_small, 1e-9)
-    return n_elem * OPS_PER_REP * lanes * (r_large - r_small) / dt
+    for _ in range(4):
+        t_small = measure_call(_probe_fn(r_small, lanes, shape), inputs,
+                               k_small=2, k_large=8)
+        t_large = measure_call(_probe_fn(r_large, lanes, shape), inputs,
+                               k_small=2, k_large=8)
+        dt = t_large - t_small
+        # believe the slope only once the added reps dominate the base
+        # call time AND are comfortably above timer/relay jitter
+        if dt > max(0.5 * t_small, 2e-3):
+            return n_elem * OPS_PER_REP * lanes * (r_large - r_small) / dt
+        r_small, r_large = r_small * 4, r_large * 4
+    return None
 
 
 def measure_vpu_rate(shape=(256, 512), r_small: int = 64,
@@ -118,10 +140,21 @@ def measure_vpu_rate(shape=(256, 512), r_small: int = 64,
     """
     best = 0.0
     for lanes in (1, 2, 4, 8):
-        rate = _measure_rate_lanes(lanes, shape, r_small, r_large)
+        try:
+            rate = _measure_rate_lanes(lanes, shape, r_small, r_large)
+        except Exception as e:  # noqa: BLE001 — one lane count must not
+            # forfeit the sweep (lanes=8 OOMed the first live run)
+            print(f"(WW) vpu probe lanes={lanes} failed: {e}", flush=True)
+            continue
+        if rate is None:
+            print(f"(WW) vpu probe lanes={lanes}: no trustworthy slope, "
+                  "discarded", flush=True)
+            continue
         print(f"(II) vpu probe lanes={lanes}: {rate/1e12:.2f} Tops/s",
               flush=True)
         best = max(best, rate)
+    if best == 0.0:
+        raise RuntimeError("vpu probe: every lane count degenerate")
     return best
 
 

@@ -96,3 +96,18 @@ def test_gather_chunked_kernel_lowers_sublane2():
         sublanes=2, chunked=True,
     )
     _export(dec, 512, code.N)
+
+
+def test_vpu_probe_lowers_all_lane_counts():
+    """The roofline ceiling probe at every chain count it sweeps.  The
+    first live run OOMed scoped VMEM at lanes=8 (8 chains x 4 live
+    [256,512] int32 arrays = 16 MiB against the 16 MiB default limit);
+    the kernel now raises vmem_limit_bytes — pin that the full sweep
+    lowers, so a probe failure can never again silently demote the suite
+    to table ceilings."""
+    from ldpcgputegra_tpu.bench.vpu_probe import _probe_fn
+
+    shape = (256, 512)
+    x = np.zeros(shape, np.int32)
+    for lanes in (1, 2, 4, 8):
+        jax.export.export(_probe_fn(64, lanes, shape), platforms=["tpu"])(x)
