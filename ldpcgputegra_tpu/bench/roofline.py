@@ -59,7 +59,10 @@ def ops_per_edge(
     """
     pre = spec.minclamp == "pre"
     n = 0
-    n += 1  # roll APP slab in (pltpu.roll)
+    n += 1  # roll APP slab to the edge's check frame (delta-shift: the
+    # round-4 schedule stores slabs in their last check frame, so the
+    # old per-edge roll BACK no longer exists; the once-per-decode
+    # load/output rotations are amortized over iters and not charged)
     n += 1  # message int8 -> int32 cast
     n += 3  # contribution: sub + clip(min,max)
     n += 3 if pre else 1  # |v|: (clip(2) then abs) when pre, else abs
@@ -71,9 +74,12 @@ def ops_per_edge(
     n += 2 if pre else 0  # message post-clip
     n += 3  # APP update: add + clip(2)
     n += 1  # message int32 -> int8 cast
-    n += 1  # roll APP slab back
     if spec.early_term:
-        n += 4  # two masked where-merges (APP, msg) on the active mask
+        # snapshot ET (round 4): per-check unsat max-accumulate (1/deg per
+        # edge) + the hard-bit snapshot pass (cast+cmp+select per VN,
+        # charged every iteration as an upper bound)
+        n += 1 / (code.M / max(code.n_checks, 1))
+        n += 3 * code.N / max(code.M, 1)
     if streamed:
         n += 6  # streamed kernel re-derives contributions in writeback
     # per-check f-constants, amortized over mean degree

@@ -96,15 +96,16 @@ def _probe_fn(reps: int, lanes: int, shape):
 
 def _measure_rate_lanes(lanes: int, shape, r_small: int,
                         r_large: int) -> float | None:
-    """Rate for one chain count, or None if no trustworthy slope emerged.
+    """Rate for one (chain count, block shape), or None if no trustworthy
+    slope emerged.
 
     The slope difference must clear a noise floor before the rate is
     believed: on the relay the first live run produced t_large <= t_small
     at lanes=1 (sub-ms signal under ~25 ms RTT jitter), and the old 1e-9
     clamp turned that into an 8e17 ops/s "ceiling" that max() would have
-    adopted.  If the signal is too small the repetition count is doubled
-    (recompile, seconds) until the in-kernel work dominates; degenerate
-    measurements are discarded, never returned.
+    adopted.  If the signal is too small the repetition count is
+    quadrupled (recompile, seconds) until the in-kernel work dominates;
+    degenerate measurements are discarded, never returned.
     """
     key = jax.random.key(0)
     inputs = [
@@ -127,39 +128,52 @@ def _measure_rate_lanes(lanes: int, shape, r_small: int,
     return None
 
 
-def measure_vpu_rate(shape=(256, 512), r_small: int = 64,
-                     r_large: int = 512) -> float:
+def measure_vpu_rate() -> float:
     """Sustained int32 element-ops/s on the decode op mix (slope over the
     in-kernel repetition count, dedup-proof via measure_call's salting).
 
-    Sweeps 1/2/4/8 interleaved independent chains and returns the BEST
+    Sweeps block shape x interleaved-chain count and returns the BEST
     sustained rate: the roofline ceiling must upper-bound any dependency
-    structure a real kernel can present, and only the multi-chain variants
-    let the VLIW VPU co-issue.  (Block kept at 512 KiB so 8 chains x 4
-    live arrays stay well inside scoped VMEM.)
+    structure a real kernel can present.  Two regimes matter (live
+    finding, round 4): at [256,512] blocks every op streams VMEM and the
+    probe under-reports issue capability by ~2.5x (real kernels beat that
+    "ceiling"); vreg-scale blocks ([8,128]..[64,256]) with many
+    independent chains keep the working set register-resident and expose
+    the VPU's true multi-port issue rate.  Repetition counts are scaled so
+    each call carries ~2e9 ops at an assumed ~4 Tops/s — big enough for a
+    clean slope over relay jitter, small enough to stay fast.
     """
     best = 0.0
-    for lanes in (1, 2, 4, 8):
-        try:
-            rate = _measure_rate_lanes(lanes, shape, r_small, r_large)
-        except Exception as e:  # noqa: BLE001 — one lane count must not
-            # forfeit the sweep (lanes=8 OOMed the first live run)
-            print(f"(WW) vpu probe lanes={lanes} failed: {e}", flush=True)
-            continue
-        if rate is None:
-            print(f"(WW) vpu probe lanes={lanes}: no trustworthy slope, "
-                  "discarded", flush=True)
-            continue
-        print(f"(II) vpu probe lanes={lanes}: {rate/1e12:.2f} Tops/s",
-              flush=True)
-        best = max(best, rate)
+    for shape in ((8, 128), (8, 256), (64, 256), (256, 512)):
+        n_elem = shape[0] * shape[1]
+        for lanes in (1, 2, 4, 8, 16):
+            if lanes * n_elem > (256 * 512 * 8):
+                continue  # cap live state at the known-good 16 MiB
+            r_large = max(16, int(2e9 / (OPS_PER_REP * n_elem * lanes)))
+            r_small = max(2, r_large // 8)
+            try:
+                rate = _measure_rate_lanes(lanes, shape, r_small, r_large)
+            except Exception as e:  # noqa: BLE001 — one config must not
+                # forfeit the sweep (lanes=8 OOMed the first live run)
+                print(f"(WW) vpu probe {shape} x{lanes} failed: {e}",
+                      flush=True)
+                continue
+            if rate is None:
+                print(f"(WW) vpu probe {shape} x{lanes}: no trustworthy "
+                      "slope, discarded", flush=True)
+                continue
+            print(f"(II) vpu probe {shape} x{lanes}: {rate/1e12:.2f} "
+                  "Tops/s", flush=True)
+            best = max(best, rate)
     if best == 0.0:
-        raise RuntimeError("vpu probe: every lane count degenerate")
+        raise RuntimeError("vpu probe: every probe config degenerate")
     return best
 
 
 def _copy_fn(mb: int):
-    shape = (mb << 20,)
+    # int32 elements: Mosaic vector arith supports only i16/i32 (the +1
+    # that defeats copy elision crashed the remote compile on int8, round 4)
+    shape = (mb << 18,)
 
     @jax.jit
     def fn(x):
@@ -169,21 +183,35 @@ def _copy_fn(mb: int):
         return pl.pallas_call(
             kernel,
             grid=(mb,),
-            in_specs=[pl.BlockSpec((1 << 20,), lambda i: (i,))],
-            out_specs=pl.BlockSpec((1 << 20,), lambda i: (i,)),
-            out_shape=jax.ShapeDtypeStruct(shape, jnp.int8),
+            in_specs=[pl.BlockSpec((1 << 18,), lambda i: (i,))],
+            out_specs=pl.BlockSpec((1 << 18,), lambda i: (i,)),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.int32),
         )(x)
 
     return fn
 
 
 def measure_hbm_bw(mb: int = 256) -> float:
-    """Sustained HBM bytes/s (read+write) on a 1 MiB-blocked int8 stream."""
+    """Sustained HBM bytes/s (read+write) on a 1 MiB-blocked int32 stream.
+
+    A 256 MiB copy at ~800 GB/s is only ~0.6 ms — a handful of calls sits
+    under the relay's timing jitter and the slope clamps to its 1e-9
+    floor, which round 4 saw reported as 5e17 B/s.  The call count is
+    escalated until the result drops below an 8 TB/s physical sanity
+    ceiling (no v5e-class part is within 4x of it); degenerate
+    measurements raise instead of poisoning the roofline."""
     key = jax.random.key(1)
     inputs = [
-        jax.random.randint(jax.random.fold_in(key, i), (mb << 20,), -100,
-                           100, jnp.int8)
+        jax.random.randint(jax.random.fold_in(key, i), (mb << 18,), -100,
+                           100, jnp.int32)
         for i in range(4)
     ]
-    sec = measure_call(_copy_fn(mb), inputs, k_small=2, k_large=8)
-    return 2 * (mb << 20) / sec
+    fn = _copy_fn(mb)
+    for ks, kl in ((4, 32), (8, 64), (16, 128)):
+        sec = measure_call(fn, inputs, k_small=ks, k_large=kl)
+        bw = 2 * (mb << 20) / sec
+        if bw < 8e12:
+            return bw
+        print(f"(WW) hbm probe k={kl}: {bw:.3g} B/s is unphysical "
+              "(slope under jitter); escalating call count", flush=True)
+    raise RuntimeError("hbm probe: slope stayed under relay jitter")

@@ -67,16 +67,16 @@ def _pallas_fits(code: LdpcCode) -> bool:
     return tb * vmem_per_lane(code) <= (100 << 20)
 
 
-# Gather compile ceilings, measured on the v5e remote compile service
-# (benchmarks/COMPILE.md, round 3): the unrolled kernel compiles for
-# 4000x2000 (12000 edges, ~68 s) but crashes the Mosaic backend for
-# 8000x4000 (24000 edges, HTTP 500); the chunked kernel compiles for
-# 8000x4000 (96 KB SMEM index array) but crashes for 9972x4986 (140 KB).
-# The unrolled kernel emits one VREG load + store per edge, and the
-# chunked kernel's SMEM footprint is 4 B/edge, so edge count is the
-# op-count/SMEM proxy for both.
+# Gather compile ceiling, measured on the v5e remote compile service
+# (benchmarks/COMPILE.md): the unrolled kernel emits one VREG load +
+# store per edge; it compiles for 4000x2000 (12000 edges, ~68 s) but
+# crashes the Mosaic backend for 8000x4000 (24000 edges, HTTP 500).
+# The chunked kernel has NO edge-count ceiling: its Mosaic op count is
+# constant (fori_loop body of one chunk) and since round 4 its index
+# table streams from HBM through a fixed ~16 KB SMEM group buffer (the
+# round-3 scalar-prefetch design put the whole table in SMEM, which
+# crashed the compile service beyond ~96 KB); its only limit is VMEM.
 _UNROLL_EDGE_MAX = 16000
-_CHUNKED_EDGE_MAX = 25000
 
 
 def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
@@ -88,8 +88,7 @@ def _gather_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
 def _gather_chunked_fits(code: LdpcCode, spec: LayeredSpec) -> bool:
     from ..kernels.pallas_gather import pick_sublanes
 
-    return (code.M <= _CHUNKED_EDGE_MAX
-            and pick_sublanes(code, spec, chunked=True) != 0)
+    return pick_sublanes(code, spec, chunked=True) != 0
 
 
 def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str:
@@ -105,8 +104,10 @@ def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str
                 if _gather_fits(code, spec):
                     return "pallas-gather"
                 if _gather_chunked_fits(code, spec):
-                    # quarter-VREG chunked tile: the only fused path that
-                    # holds the 20000x10000 working set
+                    # compile-size-bounded fused path for large non-QC
+                    # codes (9972x4986, 20000x10000): constant op count,
+                    # HBM-streamed index table, sublane tile picked so the
+                    # working set fits VMEM
                     return "pallas-gather-chunked"
         return "xla"
     return backend

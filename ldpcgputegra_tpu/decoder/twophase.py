@@ -96,6 +96,15 @@ def make_twophase_decoder(
         bits, _ = dec1(llr)
         return bits, ok_fn(bits)
 
+    @jax.jit
+    def phase2(llr, bits, gat, scat):
+        """The whole phase-2 pipeline (gather + deep decode + scatter) as
+        ONE jitted function: its executable is cached per bucket shape, so
+        a throughput study that pre-warms the buckets times pure decode,
+        never a remote recompile (ADVICE r3 #1)."""
+        tail_bits, _ = dec2(jnp.take(llr, gat, axis=0))
+        return bits.at[scat].set(tail_bits, mode="drop")
+
     def _bucket(n: int, b: int) -> int:
         """Tail batch size: the next power-of-two multiple of ``tail_pad``
         (capped at the padded full batch).  A raw ``pad-to-128`` would give
@@ -149,8 +158,31 @@ def make_twophase_decoder(
         )
         # device-side gather/decode/scatter: no LLR or bit array ever
         # crosses the host boundary
-        tail_bits, _ = dec2(jnp.take(llr, gat, axis=0))
-        out = bits.at[scat].set(tail_bits, mode="drop")
+        out = phase2(llr, bits, gat, scat)
         return out, stats
 
+    def warm_buckets(llr) -> list[int]:
+        """Compile phase 1 and EVERY possible phase-2 bucket executable
+        for this batch shape (dummy indices; results discarded).  Call
+        before timing on a remote-compile backend: otherwise the first
+        occurrence of each tail bucket puts a multi-second compile inside
+        the timed region — exactly the pathology the round-3 ET study
+        published as 2-5 Mbps (ADVICE r3 #1)."""
+        llr = jnp.asarray(llr, jnp.int8)
+        b = llr.shape[0]
+        bits, _ = phase1(llr)
+        cap = -(-b // tail_pad) * tail_pad
+        sizes = []
+        t = tail_pad
+        while t < cap:
+            sizes.append(t)
+            t *= 2
+        sizes.append(cap)
+        for t in sizes:
+            gat = jnp.zeros((t,), jnp.int32)
+            scat = jnp.full((t,), b, jnp.int32)  # all dropped
+            jax.block_until_ready(phase2(llr, bits, gat, scat))
+        return sizes
+
+    decode.warm_buckets = warm_buckets
     return decode

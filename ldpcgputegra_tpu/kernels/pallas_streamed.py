@@ -21,8 +21,10 @@ traffic; we must tile deliberately"):
   tile after tile.
 
 Same CN math, saturation, variant and deficient-circulant semantics as
-``pallas_layered`` (bit-exact by test contract).  Early termination
-freezes converged lanes and predicates whole iterations (DMAs included —
+``pallas_layered`` (bit-exact by test contract).  Early termination uses
+the snapshot design (see ``pallas_layered``): converged lanes' hard bits
+are saved the iteration their syndrome clears, the decode loop runs
+unmasked, and whole iterations are predicated off (DMAs included —
 all-or-nothing per iteration keeps the semaphore drain bookkeeping exact:
 the pending set at kernel end always belongs to the last *executed*
 iteration).
@@ -47,18 +49,21 @@ _CT = jnp.int32
 _ST = jnp.int8
 
 
-def streamed_vmem_per_lane(code: LdpcCode) -> int:
-    """int8 APP (N) + 2 msg slots (2*maxdeg*Z) + int32 CN temporaries."""
+def streamed_vmem_per_lane(code: LdpcCode, early_term: bool = False) -> int:
+    """int8 APP (N) + 2 msg slots (2*maxdeg*Z) + int32 CN temporaries
+    + the ET bit snapshot (N int8)."""
     maxdeg = max(l.deg for l in code.layers)
     z = code.Z
-    return code.N + 2 * maxdeg * z + 10 * maxdeg * z
+    et = code.N if early_term else 0
+    return code.N + et + 2 * maxdeg * z + 10 * maxdeg * z
 
 
-def streamed_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20) -> int:
+def streamed_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20,
+                        early_term: bool = False) -> int:
     """Lane tile fitting the streamed working set (v5e-class VMEM is
     ~128 MB; 16 MB is only the default scoped limit).  Capped at 256 like
     the VMEM kernel (larger tiles measured slower there)."""
-    per_lane = streamed_vmem_per_lane(code)
+    per_lane = streamed_vmem_per_lane(code, early_term)
     tb = 256
     while tb > 128 and tb * per_lane > vmem_budget:
         tb //= 2
@@ -91,8 +96,9 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
 
     def kernel(llr_ref, msg_io_ref, out_ref, msg_out_alias, iters_ref,
                app_ref, msgbuf_ref, unsat_ref, tile_iters_ref,
-               in_sems, out_sems, app_sem):
+               in_sems, out_sems, app_sem, *et_scratch):
         del msg_out_alias  # aliased storage of msg_io_ref
+        b_save_ref = et_scratch[0] if spec.early_term else None
         iters_ref[0, 0] = jnp.asarray(
             0 if spec.early_term else spec.iters, jnp.int32
         )
@@ -113,11 +119,10 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                 out_sems.at[slot],
             )
 
-        def layer_compute(li: int, first_iter: bool, active=None):
+        def layer_compute(li: int, first_iter: bool):
             """CN update for layer li; messages in msgbuf[li%2] (treated
-            as zero on the first iteration).  ``active`` is a [1, TB]
-            lane mask: converged lanes keep their APP/messages.  Returns
-            the [Z, TB] check parity (0 = satisfied)."""
+            as zero on the first iteration).  Returns the [Z, TB] check
+            parity (0 = satisfied)."""
             layer = layers[li]
             slot = li % 2
             cols = layer.qc.cols.tolist()
@@ -178,8 +183,7 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     m_new = jnp.clip(m_new, -sm, sm)
                 v_new = jnp.clip(c + m_new, -sv, sv)
                 need_old = (
-                    active is not None
-                    or cmask is not None
+                    cmask is not None
                     or (me is not None and j == me)
                 )
                 upd = None
@@ -188,10 +192,6 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     m_old = msgbuf_ref[slot, j].astype(_CT)
                     if first_iter:
                         m_old = m_old * 0
-                if active is not None:
-                    v_new = jnp.where(active, v_new, old_v)
-                    m_new = jnp.where(active, m_new, m_old)
-                    upd = active
                 if me is not None and j == me:
                     # nonexistent edge: restore APP, keep message at zero
                     v_new = jnp.where(mrow, old_v, v_new)
@@ -241,9 +241,6 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
             """One layered iteration with the message-stream pipeline.
             Precondition (steady state): in-DMA for layer 0 started into
             slot 0.  Postcondition: same for the next iteration."""
-            active = None
-            if spec.early_term:
-                active = (unsat_ref[0] != 0)[None, :]
             unsat = None
             for li in range(q):
                 slot = li % 2
@@ -253,7 +250,7 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     # first iteration writes slots without in-DMAs; make
                     # sure the previous out-DMA from this slot finished
                     msg_out(li - 2, slot).wait()
-                parity = layer_compute(li, first_iter, active)
+                parity = layer_compute(li, first_iter)
                 if spec.early_term:
                     unsat = (
                         parity if unsat is None else jnp.maximum(unsat, parity)
@@ -277,7 +274,19 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
                     msg_in(0, 0).start()
             if spec.early_term:
                 lane_unsat = unsat.max(axis=0)  # [TB] int32
-                unsat_ref[0] = jnp.minimum(unsat_ref[0], lane_unsat)
+                new_unsat = jnp.minimum(unsat_ref[0], lane_unsat)
+                # snapshot hard bits of lanes whose syndrome just cleared
+                # (see pallas_layered.py — same snapshot ET design)
+                jf = (unsat_ref[0] != 0) & (new_unsat == 0)
+                unsat_ref[0] = new_unsat
+
+                @pl.when(jnp.any(jf))
+                def _():
+                    b_save_ref[...] = jnp.where(
+                        jf[None, None, :],
+                        (app_ref[...].astype(_CT) > 0).astype(_ST),
+                        b_save_ref[...],
+                    )
 
         def tile_body(t, _):
             # LLR tile -> APP
@@ -286,6 +295,7 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
             cp.wait()
             if spec.early_term:
                 unsat_ref[...] = jnp.ones_like(unsat_ref)
+                b_save_ref[...] = jnp.zeros_like(b_save_ref)
                 tile_iters_ref[0, 0] = jnp.asarray(1, jnp.int32)
                 iters_ref[0, 0] = jnp.maximum(iters_ref[0, 0], 1)
             run_iteration(first_iter=True)
@@ -317,7 +327,14 @@ def _build_streamed_kernel(code: LdpcCode, spec: LayeredSpec, TB: int):
             msg_in(0, 0).wait()
             msg_out(carry_out_layer, 1).wait()
             # fused hard decision in place, then DMA bits out
-            app_ref[...] = (app_ref[...].astype(_CT) > 0).astype(_ST)
+            if spec.early_term:
+                frozen = (unsat_ref[0] == 0)[None, None, :]
+                app_ref[...] = jnp.where(
+                    frozen, b_save_ref[...],
+                    (app_ref[...].astype(_CT) > 0).astype(_ST),
+                )
+            else:
+                app_ref[...] = (app_ref[...].astype(_CT) > 0).astype(_ST)
             cp2 = pltpu.make_async_copy(app_ref, out_ref.at[t], app_sem)
             cp2.start()
             cp2.wait()
@@ -340,7 +357,8 @@ def make_streamed_decoder(
     Z = code.Z
     Nb = code.N // Z
     TB_max = (
-        batch_tile if batch_tile is not None else streamed_batch_tile(code)
+        batch_tile if batch_tile is not None
+        else streamed_batch_tile(code, early_term=spec.early_term)
     )
     maxdeg = max(l.deg for l in code.layers)
     kernels: dict[int, tuple] = {}
@@ -382,11 +400,15 @@ def make_streamed_decoder(
                 pltpu.SemaphoreType.DMA((2,)),  # in sems
                 pltpu.SemaphoreType.DMA((2,)),  # out sems
                 pltpu.SemaphoreType.DMA(()),  # app/bits sem
-            ],
+            ] + (
+                [pltpu.VMEM((Nb, Z, TB), _ST)]  # ET bit snapshot
+                if spec.early_term else []
+            ),
             input_output_aliases={1: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(
-                    int(streamed_vmem_per_lane(code) * TB * 1.5) + (4 << 20),
+                    int(streamed_vmem_per_lane(code, spec.early_term)
+                        * TB * 1.5) + (4 << 20),
                     120 << 20,
                 ),
             ),

@@ -99,15 +99,22 @@ def test_gather_chunked_kernel_lowers_sublane2():
 
 
 def test_vpu_probe_lowers_all_lane_counts():
-    """The roofline ceiling probe at every chain count it sweeps.  The
-    first live run OOMed scoped VMEM at lanes=8 (8 chains x 4 live
+    """The roofline ceiling probe across its (shape, chain-count) sweep.
+    The first live run OOMed scoped VMEM at lanes=8 (8 chains x 4 live
     [256,512] int32 arrays = 16 MiB against the 16 MiB default limit);
     the kernel now raises vmem_limit_bytes — pin that the full sweep
     lowers, so a probe failure can never again silently demote the suite
     to table ceilings."""
-    from ldpcgputegra_tpu.bench.vpu_probe import _probe_fn
+    from ldpcgputegra_tpu.bench.vpu_probe import _copy_fn, _probe_fn
 
-    shape = (256, 512)
-    x = np.zeros(shape, np.int32)
-    for lanes in (1, 2, 4, 8):
-        jax.export.export(_probe_fn(64, lanes, shape), platforms=["tpu"])(x)
+    for shape in ((8, 128), (64, 256), (256, 512)):
+        x = np.zeros(shape, np.int32)
+        for lanes in (1, 8, 16):
+            if lanes * shape[0] * shape[1] > 256 * 512 * 8:
+                continue
+            jax.export.export(_probe_fn(16, lanes, shape),
+                              platforms=["tpu"])(x)
+    # HBM probe: int32 stream (int8 vector arith crashed Mosaic, round 4)
+    jax.export.export(_copy_fn(4), platforms=["tpu"])(
+        np.zeros((4 << 18,), np.int32)
+    )

@@ -114,6 +114,12 @@ def study_one(name, batch, snr, algo, quick):
     tp = make_twophase_decoder(code, spec10, k1=k1)
     # disjoint warm/small/large slices (see measure_host_call): 2+ks+kl
     tp_inputs = noisy_inputs(code, batch, snr, 2 + ks + kl, seed0=1000)
+    # compile EVERY phase-2 bucket executable up front: the round-3 study
+    # accidentally timed remote recompiles (one per first-seen bucket) and
+    # published 2-5 Mbps for two-phase ET (ADVICE r3 #1)
+    sizes = tp.warm_buckets(tp_inputs[0])
+    print(f"(II) {name} twophase: warmed phase-2 buckets {sizes}",
+          flush=True)
     sec = measure_host_call(tp, tp_inputs, k_small=ks, k_large=kl,
                             repeats=1)
     _, stats = tp(np.asarray(tp_inputs[0]))
