@@ -120,21 +120,48 @@ def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
     max_g = max(l.idx.shape[0] for l in layers)
     n_slabs = 3 * deg + 8
     slab = max_g * tb * 4 * n_slabs
-    et = code.N * tb if spec.early_term else 0  # int8 bit snapshot
-    return 4 * code.N * tb + msg_rows * tb + 4 * code.N * tb + et + slab
+    et = code.N * tb if spec.early_term else 0  # int8 2D bit snapshot
+    # APP is a 3D (N, sub, 128) int32 ref: Mosaic tiles the last two dims
+    # at (8, 128), so sub < 8 is PADDED to 8 sublanes — charge the real
+    # footprint (seen live, round 4: the un-padded estimate under-counted
+    # 20000x10000's APP by 4x)
+    app = 4 * code.N * max(sub, 8) * _LANE
+    return app + msg_rows * tb + 4 * code.N * tb + et + slab
 
 
 def pick_sublanes(code: LdpcCode, spec: LayeredSpec,
                   budget: int = 100 << 20, chunked: bool = False) -> int:
     """8 sublanes (full-VREG rows) when the working set fits, else 4
-    (half-VREG loads, half the VMEM — lets 8000x4000/9972x4986 in).
-    The chunked kernel additionally supports 2 (quarter-VREG, which fits
-    the 20000x10000 working set that no other fused path can hold)."""
-    size = chunked_vmem_bytes if chunked else gather_vmem_bytes
-    for sub in (8, 4, 2) if chunked else (8, 4):
-        if size(code, spec, sub) <= budget:
+    (half-VREG loads — lets 8000x4000/9972x4986 in).  The chunked kernel
+    additionally supports 2 and, when even that overflows with pipeline
+    windows, the ``hbm_io`` single-buffer configuration (see
+    ``pick_chunked_config``) — which fits 20000x10000."""
+    if chunked:
+        return pick_chunked_config(code, spec, budget)[0]
+    for sub in (8, 4):
+        if gather_vmem_bytes(code, spec, sub) <= budget:
             return sub
     return 0
+
+
+def pick_chunked_config(code: LdpcCode, spec: LayeredSpec,
+                        budget: int = 100 << 20) -> tuple[int, bool]:
+    """(sublanes, hbm_io) for the chunked kernel; (0, False) if nothing
+    fits.  Windowed (pipelined io) configurations are preferred; the
+    hbm_io single-buffer fallback trades ~13 us/tile of unoverlapped DMA
+    (negligible vs ~10 ms/tile of decode) for the 3x window footprint."""
+    for sub in (8, 4, 2):
+        if chunked_vmem_bytes(code, spec, sub) <= budget:
+            return sub, False
+    # the hbm_io estimate's dominant term (the sublane-padded APP) is
+    # exact, not a guess, so it can run closer to the 120 MiB
+    # authorization: 106 MiB admits 20000x10000 with early termination
+    # (103.1 MiB) while leaving scheduler headroom
+    for sub in (4, 2):
+        if chunked_vmem_bytes(code, spec, sub, hbm_io=True) \
+                <= max(budget, 106 << 20):
+            return sub, True
+    return 0, False
 
 
 def _group_geom(deg_max: int) -> tuple[int, int]:
@@ -187,22 +214,28 @@ def _plan_chunked(code: LdpcCode, spec: LayeredSpec, chunk: int):
 
 
 def chunked_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
-                       sub: int = _SUB_DEFAULT, chunk: int | None = None)\
-        -> int:
+                       sub: int = _SUB_DEFAULT, chunk: int | None = None,
+                       hbm_io: bool = False) -> int:
     """Chunked-kernel working set: like ``gather_vmem_bytes`` but the live
-    temporaries span only one chunk (32 message rows), not a whole layer."""
+    temporaries span only one chunk (32 message rows), not a whole layer.
+    ``hbm_io=True`` models the variant whose LLR/bit tiles stay in HBM
+    and move through ONE kernel-managed VMEM buffer (no double-buffered
+    pipeline windows) — the configuration that lets 20000x10000 fit."""
     chunk = chunk if chunk is not None else 32 // sub
     tb = sub * _LANE
     layers, _, msg_rows, _ = _plan_chunked(code, spec, chunk)
     deg = max(l.idx.shape[1] for l in layers)
     n_slabs = 3 * deg + 8
     slab = chunk * tb * 4 * n_slabs
-    et = code.N * tb if spec.early_term else 0  # int8 bit snapshot
-    return 4 * (code.N + 1) * tb + msg_rows * tb + 4 * code.N * tb + et + slab
+    et = code.N * tb if spec.early_term else 0  # int8 2D bit snapshot
+    app = 4 * (code.N + 1) * max(sub, 8) * _LANE  # sublane-padded (see
+    # gather_vmem_bytes)
+    io = code.N * tb if hbm_io else 4 * code.N * tb
+    return app + msg_rows * tb + io + et + slab
 
 
 def _build_chunked_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases,
-                          sub: int, chunk: int):
+                          sub: int, chunk: int, hbm_io: bool = False):
     """Compile-size-bounded variant of ``_build_kernel``: instead of
     unrolling one VREG load/store per check per edge (tens of thousands of
     Mosaic ops for 9972x4986 — a remote-compile-time risk, VERDICT r2
@@ -288,11 +321,29 @@ def _build_chunked_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases,
         return unsat
 
     def kernel(idx_ref, llr_ref, out_ref, iters_ref, v_ref, m_ref,
-               unsat_ref, cnt_ref, idx_smem, idx_sems, *et_scratch):
-        b_save_ref = et_scratch[0] if spec.early_term else None
-        v_ref[pl.ds(0, N)] = (
-            llr_ref[...].reshape(N, _SUB, _LANE).astype(_CT)
-        )
+               unsat_ref, cnt_ref, idx_smem, idx_sems, *extra_scratch):
+        extra = list(extra_scratch)
+        if hbm_io:
+            # llr_ref/out_ref live in HBM; io_buf is the single VMEM
+            # staging buffer (no double-buffered pipeline windows — the
+            # 3x window footprint is what kept 20000x10000 out of VMEM)
+            io_buf, io_sem = extra[0], extra[1]
+            extra = extra[2:]
+        b_save_ref = extra[0] if spec.early_term else None
+        if hbm_io:
+            t = pl.program_id(0)
+            cp = pltpu.make_async_copy(
+                llr_ref.at[:, pl.ds(t * _LANE, _LANE)], io_buf, io_sem
+            )
+            cp.start()
+            cp.wait()
+            v_ref[pl.ds(0, N)] = (
+                io_buf[...].reshape(N, _SUB, _LANE).astype(_CT)
+            )
+        else:
+            v_ref[pl.ds(0, N)] = (
+                llr_ref[...].reshape(N, _SUB, _LANE).astype(_CT)
+            )
         v_ref[N] = jnp.zeros((_SUB, _LANE), _CT)
         m_ref[...] = jnp.zeros_like(m_ref)
         cnt_ref[0] = jnp.asarray(
@@ -379,23 +430,37 @@ def _build_chunked_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases,
 
                 @pl.when(jnp.any(jf))
                 def _():
+                    # b_save is 2D int8 (3D int8 refs pad the sublane dim
+                    # to 32 — 16x waste at sub=2); reshape at the value
+                    # level only
                     b_save_ref[...] = jnp.where(
                         jf[None],
                         (v_ref[pl.ds(0, N)] > 0).astype(_ST),
-                        b_save_ref[...],
-                    )
+                        b_save_ref[...].reshape(N, _SUB, _LANE),
+                    ).reshape(N * _SUB, _LANE)
             return 0
 
         jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
         if spec.early_term:
             frozen = (unsat_ref[...] == 0)[None]
-            out_ref[...] = jnp.where(
-                frozen, b_save_ref[...], (v_ref[pl.ds(0, N)] > 0).astype(_ST)
+            bits2 = jnp.where(
+                frozen, b_save_ref[...].reshape(N, _SUB, _LANE),
+                (v_ref[pl.ds(0, N)] > 0).astype(_ST),
             ).reshape(N * _SUB, _LANE)
         else:
-            out_ref[...] = (
+            bits2 = (
                 (v_ref[pl.ds(0, N)] > 0).astype(_ST).reshape(N * _SUB, _LANE)
             )
+        if hbm_io:
+            io_buf[...] = bits2
+            t = pl.program_id(0)
+            cp2 = pltpu.make_async_copy(
+                io_buf, out_ref.at[:, pl.ds(t * _LANE, _LANE)], io_sem
+            )
+            cp2.start()
+            cp2.wait()
+        else:
+            out_ref[...] = bits2
         @pl.when(pl.program_id(0) == 0)
         def _():
             iters_ref[0, 0] = cnt_ref[0]
@@ -502,18 +567,21 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, layers, bases, sub):
 
                 @pl.when(jnp.any(jf))
                 def _():
+                    # b_save is 2D int8 (3D int8 refs pad the sublane dim
+                    # to 32); reshape at the value level only
                     b_save_ref[...] = jnp.where(
                         jf[None],
                         (v_ref[...] > 0).astype(_ST),
-                        b_save_ref[...],
-                    )
+                        b_save_ref[...].reshape(Npad, _SUB, _LANE),
+                    ).reshape(Npad * _SUB, _LANE)
             return 0
 
         jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
         if spec.early_term:
             frozen = (unsat_ref[...] == 0)[None]
             out_ref[...] = jnp.where(
-                frozen, b_save_ref[...], (v_ref[...] > 0).astype(_ST)
+                frozen, b_save_ref[...].reshape(Npad, _SUB, _LANE),
+                (v_ref[...] > 0).astype(_ST),
             ).reshape(Npad * _SUB, _LANE)
         else:
             out_ref[...] = (
@@ -537,6 +605,7 @@ def make_gather_decoder(
     interpret: bool = False,
     sublanes: int | None = None,
     chunked: bool = False,
+    hbm_io: bool | None = None,
 ):
     """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``.
 
@@ -557,15 +626,20 @@ def make_gather_decoder(
     )
     N = code.N
     if chunked:
-        sub = sublanes if sublanes is not None else pick_sublanes(
-            code, spec, chunked=True
-        )
+        if sublanes is not None:
+            sub = sublanes
+            hbm_io = bool(hbm_io)
+        elif hbm_io is None:
+            sub, hbm_io = pick_chunked_config(code, spec)
+        else:
+            sub = pick_chunked_config(code, spec)[0]
         assert sub in (2, 4, 8), f"{code.name}: no sublane tile fits VMEM"
         chunk = 32 // sub
         layers, bases, msg_rows, vn_idx_np = _plan_chunked(code, spec, chunk)
-        kernel = _build_chunked_kernel(code, spec, layers, bases, sub, chunk)
+        kernel = _build_chunked_kernel(code, spec, layers, bases, sub,
+                                       chunk, hbm_io=hbm_io)
         vn_idx = jnp.asarray(vn_idx_np)
-        vmem_est = chunked_vmem_bytes(code, spec, sub, chunk)
+        vmem_est = chunked_vmem_bytes(code, spec, sub, chunk, hbm_io)
     else:
         sub = sublanes if sublanes is not None else pick_sublanes(code, spec)
         assert sub in (4, 8), f"{code.name}: no sublane tile fits VMEM"
@@ -597,20 +671,40 @@ def make_gather_decoder(
         if chunked:
             deg_pad, gpm = vn_idx.shape[1], vn_idx.shape[2]
             gr = _group_geom(deg_pad)[1]
-            return pl.pallas_call(
-                kernel,
-                grid=(ntiles,),
-                in_specs=[
+            if hbm_io:
+                # LLR/bit tiles stay in HBM and move through one
+                # kernel-managed staging buffer (no pipeline windows)
+                in_specs = [
+                    pl.BlockSpec(memory_space=pl.ANY),  # idx table
+                    pl.BlockSpec(memory_space=pl.ANY),  # llr tiles
+                ]
+                out_specs = (
+                    pl.BlockSpec(memory_space=pl.ANY),  # bits out
+                    pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                )
+                io_scratch = [
+                    pltpu.VMEM((N * _SUB, _LANE), _ST),  # io staging
+                    pltpu.SemaphoreType.DMA(()),
+                ]
+            else:
+                in_specs = [
                     # index table stays in HBM; the kernel streams check
                     # groups into a double-buffered SMEM slot pair
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec((N * _SUB, _LANE), lambda i: (0, i)),
-                ],
-                out_specs=(
+                ]
+                out_specs = (
                     pl.BlockSpec((N * _SUB, _LANE), lambda i: (0, i)),
                     pl.BlockSpec((1, 1), lambda i: (0, 0),
                                  memory_space=pltpu.SMEM),
-                ),
+                )
+                io_scratch = []
+            return pl.pallas_call(
+                kernel,
+                grid=(ntiles,),
+                in_specs=in_specs,
+                out_specs=out_specs,
                 scratch_shapes=[
                     # APP: 1 VREG per VN + 1 dummy row for padded edges
                     pltpu.VMEM((N + 1, _SUB, _LANE), _CT),
@@ -619,8 +713,9 @@ def make_gather_decoder(
                     pltpu.SMEM((1,), jnp.int32),
                     pltpu.SMEM((2, deg_pad, gr), jnp.int32),  # idx slots
                     pltpu.SemaphoreType.DMA((2,)),  # idx stream sems
-                ] + (
-                    [pltpu.VMEM((N, _SUB, _LANE), _ST)]  # ET bit snapshot
+                ] + io_scratch + (
+                    # ET bit snapshot (2D: 3D int8 pads sublanes to 32)
+                    [pltpu.VMEM((N * _SUB, _LANE), _ST)]
                     if spec.early_term else []
                 ),
                 out_shape=out_shape,
@@ -645,7 +740,8 @@ def make_gather_decoder(
                 pltpu.VMEM((_SUB, _LANE), jnp.int32),  # unsat codeword mask
                 pltpu.SMEM((1,), jnp.int32),  # this tile's iteration count
             ] + (
-                [pltpu.VMEM((N, _SUB, _LANE), _ST)]  # ET bit snapshot
+                # ET bit snapshot (2D: 3D int8 pads sublanes to 32)
+                [pltpu.VMEM((N * _SUB, _LANE), _ST)]
                 if spec.early_term else []
             ),
             compiler_params=params,

@@ -100,26 +100,30 @@ def _f_consts(min1, min2, spec: LayeredSpec):
     raise ValueError(f"unknown algo {spec.algo!r}")
 
 
-def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
-    layers = code.layers  # all QC (checked by pallas_supported)
-    Nb = code.N // Z
+def _rot_schedule(code: LdpcCode, Z: int):
+    """Delta-shift schedule (round 4): the APP slab of each block-column
+    is kept in the check frame of the LAST edge that touched it, instead
+    of being rolled back to frame 0 after every layer.  Each edge then
+    rolls by the (static) DELTA between the stored rotation and its own
+    shift — ONE roll per edge per iteration instead of two, on every QC
+    code.  The schedule is identical for every iteration because the
+    wrapper hands the kernel LLRs pre-rotated to each column's
+    end-of-iteration frame (``rot_end``, the schedule's fixed point) and
+    un-rotates the hard bits afterwards — both folded into the XLA-side
+    (de)interleave as static row permutations, so the kernel itself
+    carries zero extra rolls (a first in-kernel version did the
+    rotations per column at load/exit and DOUBLED small-Z codes' time on
+    silicon: Nb serial [Z, TB] ops per tile swamped tiles whose whole
+    decode is ~50 us).
 
-    # Delta-shift schedule (round 4): the APP slab of each block-column is
-    # kept in the check frame of the LAST edge that touched it, instead of
-    # being rolled back to frame 0 after every layer.  Each edge then
-    # rolls by the (static) DELTA between the stored rotation and its own
-    # shift — ONE roll per edge per iteration instead of two, on every QC
-    # code.  The rotation schedule is identical for every iteration
-    # because the initial LLR load pre-rotates each column to its
-    # end-of-iteration frame (rot_end, the fixed point of the schedule);
-    # hard decisions are un-rotated once at kernel exit.
+    Returns (rot_end dict, per-layer delta lists)."""
     rot_end: dict[int, int] = {}
-    for layer in layers:
+    for layer in code.layers:
         for c, s in zip(layer.qc.cols.tolist(), layer.qc.shifts.tolist()):
             rot_end[c] = s
     rot_cur = dict(rot_end)
     layer_deltas: list[list[int]] = []
-    for layer in layers:
+    for layer in code.layers:
         pre = dict(rot_cur)  # repeated cols gather from the PRE-layer slab
         ds = []
         for c, s in zip(layer.qc.cols.tolist(), layer.qc.shifts.tolist()):
@@ -127,6 +131,13 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             rot_cur[c] = s
         layer_deltas.append(ds)
     assert rot_cur == rot_end  # the schedule is its own fixed point
+    return rot_end, layer_deltas
+
+
+def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
+    layers = code.layers  # all QC (checked by pallas_supported)
+    Nb = code.N // Z
+    _, layer_deltas = _rot_schedule(code, Z)
 
     def layer_pass(v_ref, m_ref, moff: int, layer, deltas):
         """One QC block-row; returns [Z, TB] int32 parity (0 = satisfied)."""
@@ -232,13 +243,10 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
     def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref,
                cnt_ref, *et_scratch):
         b_save_ref = et_scratch[0] if spec.early_term else None
-        # load LLRs into the VMEM-resident int32 APP state, pre-rotated to
-        # each column's end-of-iteration frame (delta-shift fixed point);
+        # load LLRs into the VMEM-resident int32 APP state (the wrapper
+        # delivers them pre-rotated to the delta-shift fixed point);
         # zero the messages
-        for col in range(Nb):
-            v_ref[col] = _roll(
-                llr_ref[col].astype(_CT), rot_end.get(col, 0), Z
-            )
+        v_ref[...] = llr_ref[...].astype(_CT)
         m_ref[...] = jnp.zeros_like(m_ref)
         cnt_ref[0] = jnp.asarray(0 if spec.early_term else spec.iters,
                                  jnp.int32)
@@ -293,25 +301,18 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             return 0
 
         jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
-        # fused deinterleave+hard-decision equivalent: bit = (app > 0),
-        # un-rotating each column from its delta-shift frame (the ET
-        # snapshot lives in the same frames — rotations at iteration
-        # boundaries are the schedule's static fixed point)
+        # fused hard decision: bit = (app > 0), emitted in the STORED
+        # (delta-shift) frames — the wrapper's deinterleave applies the
+        # inverse row permutation.  The ET snapshot lives in the same
+        # frames (rotations at iteration boundaries are the schedule's
+        # static fixed point), so the select needs no alignment step.
         if spec.early_term:
-            frozen = (unsat_ref[0] == 0)[None, :]
-            for col in range(Nb):
-                merged = jnp.where(
-                    frozen, b_save_ref[col].astype(_CT),
-                    (v_ref[col] > 0).astype(_CT),
-                )
-                out_ref[col] = _roll(
-                    merged, -rot_end.get(col, 0), Z
-                ).astype(_ST)
+            frozen = (unsat_ref[0] == 0)[None, None, :]
+            out_ref[...] = jnp.where(
+                frozen, b_save_ref[...], (v_ref[...] > 0).astype(_ST)
+            )
         else:
-            for col in range(Nb):
-                out_ref[col] = (
-                    _roll(v_ref[col], -rot_end.get(col, 0), Z) > 0
-                ).astype(_ST)
+            out_ref[...] = (v_ref[...] > 0).astype(_ST)
         # iters_used output is ONE (1, 1) SMEM cell accumulated across grid
         # steps (max over tiles) — per-tile (1, 1) blocks of an (ntiles, 1)
         # array fail the Mosaic block-mapping divisibility check
@@ -428,6 +429,19 @@ def make_pallas_decoder(
         ip[code.col_perm] = np.arange(code.N)
         inv_perm = jnp.asarray(ip)
 
+    # delta-shift pre/post rotations as static row permutations, fused
+    # into the XLA-side (de)interleave (see _rot_schedule): the kernel
+    # stores column c's slab rolled by rot_end[c] (stored[p] =
+    # true[(p + rot) % Z], matching _roll's convention)
+    rot_end, _ = _rot_schedule(code, Z)
+    rows = np.arange(Z)
+    rot_np = np.array([rot_end.get(c, 0) for c in range(Nb)])
+    fwd_rows = jnp.asarray(
+        (rows[None, :] + rot_np[:, None]) % Z
+    )  # [Nb, Z]
+    inv_rows = jnp.asarray((rows[None, :] - rot_np[:, None]) % Z)
+    cols_ix = jnp.arange(Nb)[:, None]
+
     @jax.jit
     def decode(llr):
         llr = jnp.asarray(llr, _ST)
@@ -440,9 +454,11 @@ def make_pallas_decoder(
         B = B0 + pad
         if perm is not None:
             llr = llr[:, perm]  # QC-ified view: to QC column order
-        # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
-        llr3 = llr.T.reshape(Nb, Z, B)
+        # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B],
+        # rows pre-rotated to the delta-shift fixed point
+        llr3 = llr.T.reshape(Nb, Z, B)[cols_ix, fwd_rows]
         out3, tile_iters = _call(llr3)
+        out3 = out3[cols_ix, inv_rows]  # back to true row order
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
         if inv_perm is not None:
             bits = bits[:, inv_perm]

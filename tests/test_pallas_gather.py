@@ -234,3 +234,38 @@ def test_gather_chunked_rescues_20000():
     code = load_code("20000x10000")
     assert pick_sublanes(code, spec) == 0
     assert pick_sublanes(code, spec, chunked=True) == 2
+
+
+@pytest.mark.parametrize("early_term", [False, True])
+def test_gather_chunked_hbm_io_matches_windowed(early_term):
+    """The hbm_io chunked variant (LLR/bit tiles DMA'd through one VMEM
+    staging buffer instead of double-buffered pipeline windows — the
+    20000x10000 configuration) is bit-exact to the windowed chunked
+    kernel and the unrolled kernel, with and without early termination,
+    across multiple batch tiles (the DMA slices walk the grid)."""
+    code = make_random_regular_code(384, 192, 8, seed=31)
+    spec = LayeredSpec(algo="OMS", iters=3, schedule="colored",
+                       early_term=early_term)
+    llrs = _llrs(code.N, 3, seed=23)
+    bits_u, it_u = make_gather_decoder(
+        code, spec, interpret=True, sublanes=4)(llrs)
+    bits_h, it_h = make_gather_decoder(
+        code, spec, interpret=True, sublanes=4, chunked=True,
+        hbm_io=True)(llrs)
+    np.testing.assert_array_equal(np.asarray(bits_u), np.asarray(bits_h))
+    assert int(it_u) == int(it_h)
+
+
+def test_pick_chunked_config_20000():
+    """20000x10000: no windowed chunked tile fits once the APP's sublane
+    padding is charged honestly, but the hbm_io sub=2 configuration does
+    — with and without early termination."""
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.kernels.pallas_gather import pick_chunked_config
+
+    code = load_code("20000x10000")
+    spec = LayeredSpec(algo="OMS", iters=10, schedule="auto")
+    assert pick_chunked_config(code, spec) == (2, True)
+    spec_et = LayeredSpec(algo="OMS", iters=10, schedule="auto",
+                          early_term=True)
+    assert pick_chunked_config(code, spec_et) == (2, True)

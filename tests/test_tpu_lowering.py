@@ -118,3 +118,16 @@ def test_vpu_probe_lowers_all_lane_counts():
     jax.export.export(_copy_fn(4), platforms=["tpu"])(
         np.zeros((4 << 18,), np.int32)
     )
+
+
+def test_gather_chunked_hbm_io_lowers():
+    """The hbm_io chunked variant (ANY-space LLR/bit buffers, one VMEM
+    staging buffer, per-grid-step DMA slices) — the 20000x10000
+    configuration — must lower for TPU at sub=2 with early termination
+    (the worst case: io DMAs + idx stream + 2D bit snapshot together)."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    dec = make_gather_decoder(
+        code, LayeredSpec(algo="OMS", iters=3, early_term=True),
+        sublanes=2, chunked=True, hbm_io=True,
+    )
+    _export(dec, 512, code.N)
