@@ -111,17 +111,25 @@ def roofline_report(
     streamed: bool = False,
     vpu_rate: float | None = None,
     hbm_rate: float | None = None,
+    ops_override: float | None = None,
 ) -> dict:
     """Roofline fraction for a measured decode time.
 
     ``vpu_rate``/``hbm_rate`` should come from ``vpu_probe`` on the live
     chip; without them the per-generation table is used and the result is
     labeled ``ceiling="table"`` (treat those fractions as approximate).
+    ``ops_override`` replaces the structural per-edge op count with an
+    AUDITED one (``bench.audit`` counts the compiled kernel's Mosaic
+    vector ops); records carry ``ops_src`` accordingly.
     """
     hw = hw_spec()
     vr = vpu_rate if vpu_rate is not None else hw.vpu_elem_ops
     hr = hbm_rate if hbm_rate is not None else hw.hbm_bw
     m = kernel_model(code, spec, batch, streamed)
+    ope = ops_per_edge(code, spec, streamed)
+    if ops_override is not None:
+        m["vpu_ops"] = m["vpu_ops"] * (ops_override / ope)
+        ope = ops_override
     t_vpu = m["vpu_ops"] / vr
     t_hbm = m["hbm_bytes"] / hr
     bound = "vpu" if t_vpu >= t_hbm else "hbm"
@@ -136,7 +144,8 @@ def roofline_report(
         "hw": hw.name,
         "ceiling": "probed" if probed else "table",
         "bound": bound,
-        "ops_per_edge": round(ops_per_edge(code, spec, streamed), 2),
+        "ops_src": "mosaic-audit" if ops_override is not None else "model",
+        "ops_per_edge": round(ope, 2),
         "t_roofline_ms": t_bound * 1e3,
         "t_measured_ms": seconds * 1e3,
         "roofline_frac": t_bound / seconds if seconds else 0.0,

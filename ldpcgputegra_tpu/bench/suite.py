@@ -63,9 +63,18 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
     rep = throughput_report(sec, batch, code.N)
     eff = effective_code(code)
     rates = rates or {}
+    ops_override = None
+    if backend == "pallas":
+        # audited op count from the compiled kernel's Mosaic module —
+        # the structural model runs ~9% high on regular QC schedules and
+        # ~29% LOW on sub-pass-split ones (benchmarks/ROOFLINE_AUDIT.md)
+        from .audit import audited_ops_per_edge
+
+        ops_override = audited_ops_per_edge(eff, spec)
     roof = roofline_report(
         eff, spec, batch, sec, streamed=(backend == "pallas-streamed"),
         vpu_rate=rates.get("vpu"), hbm_rate=rates.get("hbm"),
+        ops_override=ops_override,
     )
     return {
         "code": name,
@@ -76,6 +85,8 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
         "roofline_frac": round(roof["roofline_frac"], 3),
         "bound": roof["bound"],
         "ceiling": roof["ceiling"],
+        "ops_src": roof["ops_src"],
+        "ops_per_edge": roof["ops_per_edge"],
     }
 
 

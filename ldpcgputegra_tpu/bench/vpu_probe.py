@@ -35,6 +35,34 @@ __all__ = ["OPS_PER_REP", "measure_vpu_rate", "measure_hbm_bw"]
 # sub, clip(2), abs, cmp, xor, max, min, min, cmp, select, add, clip(2)).
 OPS_PER_REP = 14
 
+# Element-ops per repetition of the peak mix (add + max + min per
+# accumulator — the shortest self-dependent sequence the decode kernels
+# are made of; everything else is independent across accumulators).
+PEAK_OPS_PER_REP = 3
+
+
+def _peak_kernel(reps: int, lanes: int, x_ref, o_ref):
+    """``lanes`` INDEPENDENT clip-accumulate chains: measures the VPU's
+    true multi-port issue ceiling.  The decode-mix probe (``_mix_kernel``)
+    topped out at 2.86 Tops/s on v5e while the REAL QC kernel sustained
+    3.33 Tops/s of audited Mosaic vector-ALU ops (round 4,
+    tools/audit_ops.py) — its chains carry longer serial runs than the
+    scheduled kernel does, so it under-states the ceiling.  Three ops with
+    only the accumulator carried exposes the full issue width."""
+    accs = [x_ref[...] + ln for ln in range(lanes)]
+    step = jnp.asarray(3, jnp.int32)
+
+    def body(_, accs):
+        return tuple(
+            jnp.minimum(jnp.maximum(a + step, -127), 127) for a in accs
+        )
+
+    accs = jax.lax.fori_loop(0, reps, body, tuple(accs))
+    acc = accs[0]
+    for a in accs[1:]:
+        acc = acc + a
+    o_ref[...] = acc
+
 
 def _mix_kernel(reps: int, lanes: int, x_ref, o_ref):
     """`reps` repetitions of `lanes` INDEPENDENT decode-shaped op chains.
@@ -75,8 +103,10 @@ def _mix_kernel(reps: int, lanes: int, x_ref, o_ref):
     o_ref[...] = acc
 
 
-def _probe_fn(reps: int, lanes: int, shape):
-    kernel = functools.partial(_mix_kernel, reps, lanes)
+def _probe_fn(reps: int, lanes: int, shape, peak: bool = False):
+    kernel = functools.partial(
+        _peak_kernel if peak else _mix_kernel, reps, lanes
+    )
 
     @jax.jit
     def fn(x):
@@ -95,7 +125,7 @@ def _probe_fn(reps: int, lanes: int, shape):
 
 
 def _measure_rate_lanes(lanes: int, shape, r_small: int,
-                        r_large: int) -> float | None:
+                        r_large: int, peak: bool = False) -> float | None:
     """Rate for one (chain count, block shape), or None if no trustworthy
     slope emerged.
 
@@ -114,16 +144,17 @@ def _measure_rate_lanes(lanes: int, shape, r_small: int,
         for i in range(4)
     ]
     n_elem = shape[0] * shape[1]
+    per_rep = PEAK_OPS_PER_REP if peak else OPS_PER_REP
     for _ in range(4):
-        t_small = measure_call(_probe_fn(r_small, lanes, shape), inputs,
-                               k_small=2, k_large=8)
-        t_large = measure_call(_probe_fn(r_large, lanes, shape), inputs,
-                               k_small=2, k_large=8)
+        t_small = measure_call(_probe_fn(r_small, lanes, shape, peak),
+                               inputs, k_small=2, k_large=8)
+        t_large = measure_call(_probe_fn(r_large, lanes, shape, peak),
+                               inputs, k_small=2, k_large=8)
         dt = t_large - t_small
         # believe the slope only once the added reps dominate the base
         # call time AND are comfortably above timer/relay jitter
         if dt > max(0.5 * t_small, 2e-3):
-            return n_elem * OPS_PER_REP * lanes * (r_large - r_small) / dt
+            return n_elem * per_rep * lanes * (r_large - r_small) / dt
         r_small, r_large = r_small * 4, r_large * 4
     return None
 
@@ -144,27 +175,33 @@ def measure_vpu_rate() -> float:
     clean slope over relay jitter, small enough to stay fast.
     """
     best = 0.0
-    for shape in ((8, 128), (8, 256), (64, 256), (256, 512)):
+    mix_shapes = ((8, 128), (8, 256), (64, 256), (256, 512))
+    peak_shapes = ((8, 128), (8, 256), (64, 256))
+    sweeps = [(s, ln, False) for s in mix_shapes for ln in (1, 2, 4, 8, 16)]
+    sweeps += [(s, ln, True) for s in peak_shapes for ln in (8, 16, 32)]
+    for shape, lanes, peak in sweeps:
         n_elem = shape[0] * shape[1]
-        for lanes in (1, 2, 4, 8, 16):
-            if lanes * n_elem > (256 * 512 * 8):
-                continue  # cap live state at the known-good 16 MiB
-            r_large = max(16, int(2e9 / (OPS_PER_REP * n_elem * lanes)))
-            r_small = max(2, r_large // 8)
-            try:
-                rate = _measure_rate_lanes(lanes, shape, r_small, r_large)
-            except Exception as e:  # noqa: BLE001 — one config must not
-                # forfeit the sweep (lanes=8 OOMed the first live run)
-                print(f"(WW) vpu probe {shape} x{lanes} failed: {e}",
-                      flush=True)
-                continue
-            if rate is None:
-                print(f"(WW) vpu probe {shape} x{lanes}: no trustworthy "
-                      "slope, discarded", flush=True)
-                continue
-            print(f"(II) vpu probe {shape} x{lanes}: {rate/1e12:.2f} "
-                  "Tops/s", flush=True)
-            best = max(best, rate)
+        if lanes * n_elem > (256 * 512 * 8):
+            continue  # cap live state at the known-good 16 MiB
+        per_rep = PEAK_OPS_PER_REP if peak else OPS_PER_REP
+        r_large = max(16, int(2e9 / (per_rep * n_elem * lanes)))
+        r_small = max(2, r_large // 8)
+        tag = "peak" if peak else "mix"
+        try:
+            rate = _measure_rate_lanes(lanes, shape, r_small, r_large,
+                                       peak)
+        except Exception as e:  # noqa: BLE001 — one config must not
+            # forfeit the sweep (lanes=8 OOMed the first live run)
+            print(f"(WW) vpu probe {tag} {shape} x{lanes} failed: {e}",
+                  flush=True)
+            continue
+        if rate is None:
+            print(f"(WW) vpu probe {tag} {shape} x{lanes}: no trustworthy "
+                  "slope, discarded", flush=True)
+            continue
+        print(f"(II) vpu probe {tag} {shape} x{lanes}: {rate/1e12:.2f} "
+              "Tops/s", flush=True)
+        best = max(best, rate)
     if best == 0.0:
         raise RuntimeError("vpu probe: every probe config degenerate")
     return best

@@ -101,14 +101,16 @@ def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str
             if pallas_supported(code, spec):
                 return "pallas" if _pallas_fits(code) else "pallas-streamed"
             if gather_supported(code, spec):
+                # chunked FIRST: it measured faster than the unrolled
+                # kernel even where both compile (4000x2000 on silicon,
+                # round 4: 3494 vs 2740 Mbps — the compact fori_loop body
+                # schedules better than a 24k-op unroll), compiles in
+                # seconds instead of minutes, and is the only variant
+                # with no edge-count compile ceiling
+                if _gather_chunked_fits(code, spec):
+                    return "pallas-gather-chunked"
                 if _gather_fits(code, spec):
                     return "pallas-gather"
-                if _gather_chunked_fits(code, spec):
-                    # compile-size-bounded fused path for large non-QC
-                    # codes (9972x4986, 20000x10000): constant op count,
-                    # HBM-streamed index table, sublane tile picked so the
-                    # working set fits VMEM
-                    return "pallas-gather-chunked"
         return "xla"
     return backend
 

@@ -10,6 +10,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec
 from ldpcgputegra_tpu.codes.registry import load_code
@@ -42,6 +43,7 @@ def _single_device_counts():
     return be, fe
 
 
+@pytest.mark.slow
 def test_dp_tp_sweep_point_matches_single_device(tmp_path):
     res = run_dp_tp_point(
         CODE, SNR, BATCH, BATCHES, SPEC, seed=1234, dp=2, tp=4,
@@ -55,6 +57,7 @@ def test_dp_tp_sweep_point_matches_single_device(tmp_path):
     assert st["batches"] == BATCHES and st["be"] == be
 
 
+@pytest.mark.slow
 def test_dp_tp_sweep_point_resumes(tmp_path):
     ck = str(tmp_path / "ck.json")
     full = run_dp_tp_point(CODE, SNR, BATCH, BATCHES, SPEC, seed=1234,

@@ -61,6 +61,7 @@ def test_dp_tp_early_term_and_ref_bits():
     assert int(it0) == 1
 
 
+@pytest.mark.slow
 def test_dp_tp_dvbs2_staircase():
     """DVB-family QC view (deficient circulants + sub-pass layers) under
     the composed mesh: the flagship 2-D topology."""

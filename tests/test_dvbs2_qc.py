@@ -135,6 +135,7 @@ def test_derived_16200x10800_code_end_to_end():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_qc_decode_bit_exact_64800():
     """The flagship DVB-S2 64800x32400 QC view (with sub-pass splits) is
     bit-exact vs the permuted-order golden oracle."""

@@ -38,6 +38,7 @@ def _colored_view(code, schedule="colored"):
 
 
 @pytest.mark.parametrize("algo,minclamp", [("OMS", "pre"), ("2NMS", "post")])
+@pytest.mark.slow
 def test_gather_kernel_bit_exact_colored(algo, minclamp):
     code = make_random_regular_code(512, 256, 8, seed=5)
     spec = LayeredSpec(algo=algo, iters=3, minclamp=minclamp,
@@ -54,6 +55,7 @@ def test_gather_kernel_bit_exact_colored(algo, minclamp):
     np.testing.assert_array_equal(np.asarray(bits), refs)
 
 
+@pytest.mark.slow
 def test_gather_kernel_early_term_freeze():
     """ET output == fixed-iteration output (frozen updates), and noiseless
     input converges in one iteration."""
@@ -72,6 +74,7 @@ def test_gather_kernel_early_term_freeze():
     assert int(used0) == 1
 
 
+@pytest.mark.slow
 def test_gather_kernel_ragged_batch():
     """B not a multiple of the 1024-codeword tile: zero-padded, results for
     the real frames unchanged."""
@@ -95,6 +98,7 @@ def test_gather_vmem_estimate_4000x2000():
     assert gather_vmem_bytes(code, spec) <= (100 << 20)
 
 
+@pytest.mark.slow
 def test_gather_kernel_sublane4_bit_exact():
     """The half-VREG (sublanes=4) tile — used when 8 sublanes exceed VMEM
     (8000x4000, 9972x4986) — is bit-identical to the default tile."""
@@ -114,6 +118,7 @@ def test_gather_kernel_sublane4_bit_exact():
     np.testing.assert_array_equal(bits4, refs)
 
 
+@pytest.mark.slow
 def test_gather_kernel_irregular_bit_exact():
     """Two degree classes (as in irregular references like 16200x7560's
     raw form): the colored schedule colors each class separately, so the
@@ -159,6 +164,7 @@ def test_gather_sublane_autoselect():
 
 @pytest.mark.parametrize("sub", [8, 4])
 @pytest.mark.parametrize("early_term", [False, True])
+@pytest.mark.slow
 def test_gather_chunked_matches_unrolled(sub, early_term):
     """The compile-size-bounded chunked kernel (fori_loop over SMEM-indexed
     check chunks) is bit-exact to the fully-unrolled kernel, with and
@@ -178,6 +184,7 @@ def test_gather_chunked_matches_unrolled(sub, early_term):
     assert int(it_u) == int(it_c)
 
 
+@pytest.mark.slow
 def test_gather_chunked_irregular_bit_exact():
     """Chunked kernel on a two-degree-class code vs the golden model in
     the colored order (mixed G and deg across layers stresses the
@@ -207,6 +214,7 @@ def test_gather_chunked_irregular_bit_exact():
     np.testing.assert_array_equal(np.asarray(bits), refs)
 
 
+@pytest.mark.slow
 def test_gather_chunked_sublane2_bit_exact():
     """Quarter-VREG chunked tile (sub=2, chunk=16): the configuration
     that lets 20000x10000 onto a fused path.  Bit-exact vs the unrolled
@@ -225,18 +233,20 @@ def test_gather_chunked_sublane2_bit_exact():
 
 def test_gather_chunked_rescues_20000():
     """pick_sublanes: no unrolled tile fits 20000x10000, but the chunked
-    sub=2 tile does — and backend_for routes there (simulated TPU check
-    is covered by the fit functions; here we pin the fit logic)."""
+    kernel does (full-width sub=8 via the streamed-messages io mode) —
+    and backend_for routes there (simulated TPU check is covered by the
+    fit functions; here we pin the fit logic)."""
     from ldpcgputegra_tpu.codes.registry import load_code
     from ldpcgputegra_tpu.kernels.pallas_gather import pick_sublanes
 
     spec = LayeredSpec(algo="OMS", iters=10, schedule="auto")
     code = load_code("20000x10000")
     assert pick_sublanes(code, spec) == 0
-    assert pick_sublanes(code, spec, chunked=True) == 2
+    assert pick_sublanes(code, spec, chunked=True) == 8
 
 
 @pytest.mark.parametrize("early_term", [False, True])
+@pytest.mark.slow
 def test_gather_chunked_hbm_io_matches_windowed(early_term):
     """The hbm_io chunked variant (LLR/bit tiles DMA'd through one VMEM
     staging buffer instead of double-buffered pipeline windows — the
@@ -257,15 +267,39 @@ def test_gather_chunked_hbm_io_matches_windowed(early_term):
 
 
 def test_pick_chunked_config_20000():
-    """20000x10000: no windowed chunked tile fits once the APP's sublane
-    padding is charged honestly, but the hbm_io sub=2 configuration does
-    — with and without early termination."""
+    """20000x10000: no windowed or staged chunked tile fits once the
+    APP's sublane padding is charged honestly, but the full-width sub=8
+    streamed-messages configuration does — with and without early
+    termination (sub=8 measured 4.2x the throughput of the sub=2
+    fallback on silicon; see pick_chunked_config's ordering note)."""
     from ldpcgputegra_tpu.codes.registry import load_code
     from ldpcgputegra_tpu.kernels.pallas_gather import pick_chunked_config
 
     code = load_code("20000x10000")
     spec = LayeredSpec(algo="OMS", iters=10, schedule="auto")
-    assert pick_chunked_config(code, spec) == (2, True)
+    assert pick_chunked_config(code, spec) == (8, "stream")
     spec_et = LayeredSpec(algo="OMS", iters=10, schedule="auto",
                           early_term=True)
-    assert pick_chunked_config(code, spec_et) == (2, True)
+    assert pick_chunked_config(code, spec_et) == (8, "stream")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("early_term", [False, True])
+def test_gather_chunked_stream_matches_unrolled(early_term):
+    """The streamed-messages chunked variant (messages through an
+    in/out-aliased HBM buffer with double-buffered group slots, peeled
+    first iteration — the 20000x10000 configuration) is bit-exact to the
+    unrolled kernel across multiple batch tiles (exercises the per-tile
+    HBM message buffer reuse, which iteration 0's zero-message peel makes
+    safe without a reset)."""
+    code = make_random_regular_code(256, 128, 8, seed=31)
+    spec = LayeredSpec(algo="OMS", iters=3, schedule="colored",
+                       early_term=early_term)
+    llrs = _llrs(code.N, 4, seed=29)
+    bits_u, it_u = make_gather_decoder(
+        code, spec, interpret=True, sublanes=4)(llrs)
+    bits_s, it_s = make_gather_decoder(
+        code, spec, interpret=True, sublanes=4, chunked=True,
+        io_mode="stream")(llrs)
+    np.testing.assert_array_equal(np.asarray(bits_u), np.asarray(bits_s))
+    assert int(it_u) == int(it_s)

@@ -39,6 +39,7 @@ def test_rowshard_bit_exact_qc(name, devs):
     assert int(it_s) == int(it_1) == 4
 
 
+@pytest.mark.slow
 def test_rowshard_early_term_matches():
     code = load_code("576x288")
     mesh = decode_mesh(n_devices=8)
@@ -56,6 +57,7 @@ def test_rowshard_early_term_matches():
     assert int(it0) == 1
 
 
+@pytest.mark.slow
 def test_rowshard_dvbs2_staircase_one_frame():
     """The flagship target: ONE DVB-family frame split across 8 devices
     (QC view with deficient circulants + sub-pass layers), bit-exact."""

@@ -131,3 +131,16 @@ def test_gather_chunked_hbm_io_lowers():
         sublanes=2, chunked=True, hbm_io=True,
     )
     _export(dec, 512, code.N)
+
+
+def test_gather_chunked_stream_lowers():
+    """The streamed-messages chunked variant (in/out-aliased HBM message
+    buffer, double-buffered group-slot DMAs, peeled first iteration, io
+    staging slices) — the 20000x10000 configuration — must lower for TPU
+    with early termination."""
+    code = make_random_regular_code(512, 256, 8, seed=5)
+    dec = make_gather_decoder(
+        code, LayeredSpec(algo="OMS", iters=3, early_term=True),
+        sublanes=8, chunked=True, io_mode="stream",
+    )
+    _export(dec, 2048, code.N)
