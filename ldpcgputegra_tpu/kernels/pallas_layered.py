@@ -100,46 +100,24 @@ def _f_consts(min1, min2, spec: LayeredSpec):
     raise ValueError(f"unknown algo {spec.algo!r}")
 
 
-def _rot_schedule(code: LdpcCode, Z: int):
-    """Delta-shift schedule (round 4): the APP slab of each block-column
-    is kept in the check frame of the LAST edge that touched it, instead
-    of being rolled back to frame 0 after every layer.  Each edge then
-    rolls by the (static) DELTA between the stored rotation and its own
-    shift — ONE roll per edge per iteration instead of two, on every QC
-    code.  The schedule is identical for every iteration because the
-    wrapper hands the kernel LLRs pre-rotated to each column's
-    end-of-iteration frame (``rot_end``, the schedule's fixed point) and
-    un-rotates the hard bits afterwards — both folded into the XLA-side
-    (de)interleave as static row permutations, so the kernel itself
-    carries zero extra rolls (a first in-kernel version did the
-    rotations per column at load/exit and DOUBLED small-Z codes' time on
-    silicon: Nb serial [Z, TB] ops per tile swamped tiles whose whole
-    decode is ~50 us).
-
-    Returns (rot_end dict, per-layer delta lists)."""
-    rot_end: dict[int, int] = {}
-    for layer in code.layers:
-        for c, s in zip(layer.qc.cols.tolist(), layer.qc.shifts.tolist()):
-            rot_end[c] = s
-    rot_cur = dict(rot_end)
-    layer_deltas: list[list[int]] = []
-    for layer in code.layers:
-        pre = dict(rot_cur)  # repeated cols gather from the PRE-layer slab
-        ds = []
-        for c, s in zip(layer.qc.cols.tolist(), layer.qc.shifts.tolist()):
-            ds.append((s - pre[c]) % Z)
-            rot_cur[c] = s
-        layer_deltas.append(ds)
-    assert rot_cur == rot_end  # the schedule is its own fixed point
-    return rot_end, layer_deltas
+# NOTE on a measured-negative experiment (round 4): a "delta-shift"
+# schedule — keep each block-column's APP slab in its last edge's check
+# frame and roll only by static shift deltas, halving per-edge rolls —
+# was implemented, bit-exact-validated, and benchmarked on silicon.  It
+# LOST: rolls are only ~2 of the ~23 audited VPU ops per edge (~6% of
+# kernel time), while the pre/post rotations cost 10-15% whether done
+# per-column in-kernel (Nb serial [Z,TB] ops swamp small-Z tiles: 576
+# ran 2x slower) or as XLA-side row-permutation gathers (extra HBM
+# passes: 576 -13%, 64800@5it -17% end-to-end).  Reverted at commit
+# history 06061eb..3f18f8b; the snapshot-ET redesign from the same
+# commits is kept (that one measured a large win).
 
 
 def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
     layers = code.layers  # all QC (checked by pallas_supported)
     Nb = code.N // Z
-    _, layer_deltas = _rot_schedule(code, Z)
 
-    def layer_pass(v_ref, m_ref, moff: int, layer, deltas):
+    def layer_pass(v_ref, m_ref, moff: int, layer):
         """One QC block-row; returns [Z, TB] int32 parity (0 = satisfied)."""
         cols = layer.qc.cols.tolist()
         shifts = layer.qc.shifts.tolist()
@@ -155,7 +133,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         rolled = []
         contribs = []
         for j in range(deg):
-            v = _roll(v_ref[cols[j]], deltas[j], Z)  # int32 slab
+            v = _roll(v_ref[cols[j]], shifts[j], Z)  # int32 slab
             m = m_ref[moff + j].astype(_CT)
             c = jnp.clip(v - m, -sv, sv)
             if me is not None and j == me:
@@ -206,25 +184,22 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             v_news.append(v_new)
             upd_masks.append(upd)
             m_ref[moff + j] = m_new.astype(_ST)
-        # Writeback (delta-shift): each slab is stored IN its check frame
-        # — no roll back.  A repeated block-column needs a MERGED write in
-        # the LAST edge's frame: each edge's full-slab store would clobber
-        # the other's committed updates (both computed from the
-        # layer-start slab).  Updates of distinct edges in a conflict-free
-        # group touch disjoint VNs, so sequential where-merges are exact.
+        # Writeback: a repeated block-column needs a MERGED write — each
+        # edge's full-slab store would clobber the other's committed
+        # updates (both computed from the layer-start slab).  Updates of
+        # distinct edges in a conflict-free group touch disjoint VNs, so
+        # sequential where-merges are exact.
         col_edges: dict[int, list[int]] = {}
         for j in range(deg):
             col_edges.setdefault(cols[j], []).append(j)
         for col, js in col_edges.items():
             if len(js) == 1:
                 j = js[0]
-                v_ref[col] = v_news[j]
+                v_ref[col] = _roll(v_news[j], -shifts[j], Z)
             else:
-                jm = js[-1]  # the stored frame after this layer
-                slab = rolled[jm]  # pre-layer slab, already in jm's frame
+                slab = v_ref[col]
                 for j in js:
-                    d = (shifts[jm] - shifts[j]) % Z
-                    back = _roll(v_news[j], d, Z)
+                    back = _roll(v_news[j], -shifts[j], Z)
                     upd = upd_masks[j]
                     if upd is None:
                         slab = back
@@ -233,7 +208,7 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
                             upd.astype(jnp.int32), back.shape
                         )  # rotate as int32 (Mosaic: no sub-32-bit rolls)
                         slab = jnp.where(
-                            _roll(upd_b, d, Z) != 0, back, slab
+                            _roll(upd_b, -shifts[j], Z) != 0, back, slab
                         )
                 v_ref[col] = slab
         if cmask is not None:
@@ -257,8 +232,8 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         def run_layers():
             unsat = None
             moff = 0
-            for layer, deltas in zip(layers, layer_deltas):
-                parity = layer_pass(v_ref, m_ref, moff, layer, deltas)
+            for layer in layers:
+                parity = layer_pass(v_ref, m_ref, moff, layer)
                 moff += layer.deg
                 if spec.early_term:
                     # accumulate the unsatisfied-check OR at [Z, TB]
@@ -301,11 +276,9 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             return 0
 
         jax.lax.fori_loop(0, spec.iters, iteration, 0, unroll=False)
-        # fused hard decision: bit = (app > 0), emitted in the STORED
-        # (delta-shift) frames — the wrapper's deinterleave applies the
-        # inverse row permutation.  The ET snapshot lives in the same
-        # frames (rotations at iteration boundaries are the schedule's
-        # static fixed point), so the select needs no alignment step.
+        # fused deinterleave+hard-decision equivalent: bit = (app > 0);
+        # the ET snapshot is stored in the same (frame-0) layout, so the
+        # select needs no alignment step.
         if spec.early_term:
             frozen = (unsat_ref[0] == 0)[None, None, :]
             out_ref[...] = jnp.where(
@@ -429,19 +402,6 @@ def make_pallas_decoder(
         ip[code.col_perm] = np.arange(code.N)
         inv_perm = jnp.asarray(ip)
 
-    # delta-shift pre/post rotations as static row permutations, fused
-    # into the XLA-side (de)interleave (see _rot_schedule): the kernel
-    # stores column c's slab rolled by rot_end[c] (stored[p] =
-    # true[(p + rot) % Z], matching _roll's convention)
-    rot_end, _ = _rot_schedule(code, Z)
-    rows = np.arange(Z)
-    rot_np = np.array([rot_end.get(c, 0) for c in range(Nb)])
-    fwd_rows = jnp.asarray(
-        (rows[None, :] + rot_np[:, None]) % Z
-    )  # [Nb, Z]
-    inv_rows = jnp.asarray((rows[None, :] - rot_np[:, None]) % Z)
-    cols_ix = jnp.arange(Nb)[:, None]
-
     @jax.jit
     def decode(llr):
         llr = jnp.asarray(llr, _ST)
@@ -454,11 +414,9 @@ def make_pallas_decoder(
         B = B0 + pad
         if perm is not None:
             llr = llr[:, perm]  # QC-ified view: to QC column order
-        # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B],
-        # rows pre-rotated to the delta-shift fixed point
-        llr3 = llr.T.reshape(Nb, Z, B)[cols_ix, fwd_rows]
+        # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
+        llr3 = llr.T.reshape(Nb, Z, B)
         out3, tile_iters = _call(llr3)
-        out3 = out3[cols_ix, inv_rows]  # back to true row order
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
         if inv_perm is not None:
             bits = bits[:, inv_perm]
