@@ -184,5 +184,53 @@ def make_twophase_decoder(
             jax.block_until_ready(phase2(llr, bits, gat, scat))
         return sizes
 
+    def decode_pipelined(llrs):
+        """Decode a SEQUENCE of batches with software pipelining: every
+        batch's phase 1 is dispatched up front (the device queue holds
+        them), so each per-batch convergence-mask fetch — the one
+        mandatory host round trip in the two-phase design, ~25 ms on a
+        relayed backend — overlaps the other batches' phase-1 compute
+        instead of serializing after it.  This is how a production sweep
+        consumes the decoder (`sim/sweep.py`'s dispatch window does the
+        same for whole sim steps); the serial `decode()` number on a
+        relay measures RTT, not decode.
+
+        Returns (list of bits arrays, aggregate stats dict)."""
+        staged = [phase1(jnp.asarray(x, jnp.int8)) for x in llrs]
+        # ONE host transfer for every batch's convergence mask: each
+        # np.asarray(ok) costs a full ~25 ms round trip on the relay no
+        # matter how well dispatch overlaps (round-4 measurement: the
+        # per-batch-fetch version ran 12 batches in 0.415 s = 12 RTTs)
+        all_ok = np.asarray(jnp.stack([ok for _, ok in staged]))
+        outs = []
+        agg = {"phase2_frames": 0, "phase2_batch": 0, "frames": 0}
+        for i, (x, (bits, _ok)) in enumerate(zip(llrs, staged)):
+            ok = all_ok[i]
+            llr = jnp.asarray(x, jnp.int8)
+            b = llr.shape[0]
+            bad = np.flatnonzero(~ok)
+            tail = _bucket(bad.size, b) if bad.size else 0
+            agg["phase2_frames"] += int(bad.size)
+            agg["phase2_batch"] += int(tail)
+            agg["frames"] += b
+            if bad.size == 0:
+                outs.append(bits)
+                continue
+            pad = tail - bad.size
+            gat = jnp.asarray(
+                np.concatenate([bad, np.zeros(pad, np.int64)])
+                .astype(np.int32)
+            )
+            scat = jnp.asarray(
+                np.concatenate([bad, np.full(pad, b, np.int64)])
+                .astype(np.int32)
+            )
+            outs.append(phase2(llr, bits, gat, scat))
+        agg["eff_iters_per_frame"] = (
+            k1 + spec.iters * agg["phase2_batch"] / max(agg["frames"], 1)
+        )
+        return outs, agg
+
     decode.warm_buckets = warm_buckets
+    decode.pipelined = decode_pipelined
     return decode

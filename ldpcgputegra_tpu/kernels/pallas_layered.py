@@ -70,6 +70,29 @@ def _roll(x, s: int, Z: int):
     return pltpu.roll(x, -s % Z, axis=0)
 
 
+def _roll_mod(x, s: int, Z: int, Zp: int):
+    """Cyclic mod-Z roll of the first Z rows of a [Zp, TB] tile
+    (Zp = Z padded up to a sublane multiple; rows >= Z are don't-care).
+
+    Mosaic's sublane rotate on a non-8-multiple row count is slow and
+    the unpadded layout wastes tile capacity — 1944x972's Z=81 ran 1.6x
+    more ps/edge than its own base re-expanded at Z=88 (PROFILE_1944.md).
+    Two ALIGNED Zp-rolls + one iota select emulate the mod-Z roll
+    exactly: out[i] = x[(i+s) mod Zp] lands the right element for
+    i < Z-s, and x[(i+s-Z) mod Zp] for the wrapped tail; dummy rows are
+    never selected into real rows (both branches read x[<Z] there), so
+    garbage stays confined to rows >= Z."""
+    s = s % Z
+    if Zp == Z:
+        return _roll(x, s, Z)
+    if s == 0:
+        return x
+    y1 = _roll(x, s, Zp)
+    y2 = _roll(x, (s - Z) % Zp, Zp)
+    i = jax.lax.broadcasted_iota(jnp.int32, (Zp, 1), 0)
+    return jnp.where(i >= Z - s, y2, y1)
+
+
 def _row_mask(Z: int, rows) -> jax.Array:
     """[Z, 1] bool mask selecting the given check rows, built from iota
     (Pallas kernels cannot capture array constants)."""
@@ -116,24 +139,29 @@ def _f_consts(min1, min2, spec: LayeredSpec):
 def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
     layers = code.layers  # all QC (checked by pallas_supported)
     Nb = code.N // Z
+    # odd-Z codes (1944x972's Z=81 is the registry's only one) run on a
+    # sublane-aligned Zp = ceil(Z/8)*8 layout with emulated mod-Z rolls
+    # (see _roll_mod); rows >= Z are dummy and masked out of the parity
+    Zp = -(-Z // 8) * 8
 
     def layer_pass(v_ref, m_ref, moff: int, layer):
-        """One QC block-row; returns [Z, TB] int32 parity (0 = satisfied)."""
+        """One QC block-row; returns [Zp, TB] int32 parity (0 = satisfied;
+        dummy rows >= Z already masked)."""
         cols = layer.qc.cols.tolist()
         shifts = layer.qc.shifts.tolist()
         deg = layer.deg
         me = layer.qc.mask_edge
         mrow = None
         if me is not None:
-            mrow = _row_mask(Z, layer.qc.mask_rows)  # deficient circulant
+            mrow = _row_mask(Zp, layer.qc.mask_rows)  # deficient circulant
         cmask = None
         if layer.qc.commit_rows is not None:
-            cmask = _row_mask(Z, layer.qc.commit_rows)  # sub-pass commits
+            cmask = _row_mask(Zp, layer.qc.commit_rows)  # sub-pass commits
         sv, sm = spec.sat_var, spec.sat_msg
         rolled = []
         contribs = []
         for j in range(deg):
-            v = _roll(v_ref[cols[j]], shifts[j], Z)  # int32 slab
+            v = _roll_mod(v_ref[cols[j]], shifts[j], Z, Zp)  # int32 slab
             m = m_ref[moff + j].astype(_CT)
             c = jnp.clip(v - m, -sv, sv)
             if me is not None and j == me:
@@ -195,11 +223,11 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
         for col, js in col_edges.items():
             if len(js) == 1:
                 j = js[0]
-                v_ref[col] = _roll(v_news[j], -shifts[j], Z)
+                v_ref[col] = _roll_mod(v_news[j], Z - shifts[j], Z, Zp)
             else:
                 slab = v_ref[col]
                 for j in js:
-                    back = _roll(v_news[j], -shifts[j], Z)
+                    back = _roll_mod(v_news[j], Z - shifts[j], Z, Zp)
                     upd = upd_masks[j]
                     if upd is None:
                         slab = back
@@ -208,11 +236,16 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
                             upd.astype(jnp.int32), back.shape
                         )  # rotate as int32 (Mosaic: no sub-32-bit rolls)
                         slab = jnp.where(
-                            _roll(upd_b, -shifts[j], Z) != 0, back, slab
+                            _roll_mod(upd_b, Z - shifts[j], Z, Zp) != 0,
+                            back, slab,
                         )
                 v_ref[col] = slab
         if cmask is not None:
             parity = jnp.where(cmask, parity, 0)
+        if Zp != Z:
+            # dummy rows' parity is garbage — mask it from the ET vote
+            i = jax.lax.broadcasted_iota(jnp.int32, (Zp, 1), 0)
+            parity = jnp.where(i < Z, parity, 0)
         return parity
 
     def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref,
@@ -303,10 +336,14 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
 def vmem_per_lane(code: LdpcCode, early_term: bool = False) -> int:
     """Estimated VMEM bytes per lane: int32 APP (4N) + int8 messages (M) +
     double-buffered int8 in/out tiles (4N) + int32 CN temporaries
-    (~4 arrays x maxdeg x Z x 4B) + the ET bit snapshot (N int8)."""
+    (~4 arrays x maxdeg x Z x 4B) + the ET bit snapshot (N int8); odd-Z
+    codes are charged at their padded Zp layout."""
     maxdeg = max(l.deg for l in code.layers)
     et = code.N if early_term else 0
-    return 4 * code.N + code.M + 4 * code.N + et + 16 * maxdeg * (code.Z or 64)
+    z = code.Z or 64
+    zp_f = (-(-z // 8) * 8) / z  # padded-Z inflation (1.0 for aligned Z)
+    base = 4 * code.N + code.M + 4 * code.N + et
+    return int(base * zp_f) + 16 * maxdeg * int(z * zp_f)
 
 
 def pick_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20) -> int:
@@ -337,6 +374,7 @@ def make_pallas_decoder(
     """
     assert pallas_supported(code, spec), f"{code.name}: not all-QC layers"
     Z = code.Z
+    Zp = -(-Z // 8) * 8  # sublane-aligned layout (odd-Z emulated rolls)
     Nb = code.N // Z
     n_msg_slabs = sum(l.deg for l in code.layers)
     TB_max = batch_tile if batch_tile is not None else pick_batch_tile(code)
@@ -348,7 +386,7 @@ def make_pallas_decoder(
             tb -= 128
         return tb
 
-    def _call(llr3):  # [Nb, Z, B], B a multiple of 128
+    def _call(llr3):  # [Nb, Zp, B], B a multiple of 128
         B = llr3.shape[-1]
         TB = _tile_for(B)
         if TB not in kernels:
@@ -359,29 +397,30 @@ def make_pallas_decoder(
             grid=(B // TB,),
             in_specs=[
                 pl.BlockSpec(
-                    (Nb, Z, TB), lambda i: (0, 0, i),
+                    (Nb, Zp, TB), lambda i: (0, 0, i),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (Nb, Z, TB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                    (Nb, Zp, TB), lambda i: (0, 0, i),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((Nb, Z, B), _ST),
+                jax.ShapeDtypeStruct((Nb, Zp, B), _ST),
                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((Nb, Z, TB), _CT),  # APP state (int32: rollable)
-                pltpu.VMEM((n_msg_slabs, Z, TB), _ST),  # c2v messages
+                pltpu.VMEM((Nb, Zp, TB), _CT),  # APP state (int32: rollable)
+                pltpu.VMEM((n_msg_slabs, Zp, TB), _ST),  # c2v messages
                 pltpu.VMEM((1, TB), jnp.int32),  # unsat lane mask
                 pltpu.SMEM((1,), jnp.int32),  # this tile's iteration count
             ] + (
                 # ET: int8 hard-decision snapshot, written at freeze time
-                [pltpu.VMEM((Nb, Z, TB), _ST)] if spec.early_term else []
+                [pltpu.VMEM((Nb, Zp, TB), _ST)] if spec.early_term else []
             ),
             compiler_params=pltpu.CompilerParams(
                 # 1.5x + flat headroom over the static estimate: scheduler
@@ -416,7 +455,11 @@ def make_pallas_decoder(
             llr = llr[:, perm]  # QC-ified view: to QC column order
         # interleave: frame-major [B, N] -> block-column-major [Nb, Z, B]
         llr3 = llr.T.reshape(Nb, Z, B)
+        if Zp != Z:  # odd-Z: pad dummy rows (kernel keeps them isolated)
+            llr3 = jnp.pad(llr3, ((0, 0), (0, Zp - Z), (0, 0)))
         out3, tile_iters = _call(llr3)
+        if Zp != Z:
+            out3 = out3[:, :Z, :]
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
         if inv_perm is not None:
             bits = bits[:, inv_perm]

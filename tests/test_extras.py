@@ -97,3 +97,24 @@ def test_twophase_decoder_matches_per_frame_early_term():
     assert 0 < stats["phase2_frames"] < 64  # the test is non-trivial
     np.testing.assert_array_equal(bits[ok3], bits3[ok3])
     np.testing.assert_array_equal(bits[~ok3], bits10[~ok3])
+
+
+def test_twophase_pipelined_matches_serial():
+    """decode_pipelined returns exactly the per-batch serial results (the
+    pipelining only reorders dispatch, never computation)."""
+    from ldpcgputegra_tpu.decoder.twophase import make_twophase_decoder
+
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=8)
+    tp = make_twophase_decoder(code, spec, k1=4)
+    rng = np.random.default_rng(5)
+    llrs = [
+        np.clip(8.0 * rng.normal(-1.0, 0.8, size=(256, code.N)), -31, 31)
+        .astype(np.int8)
+        for _ in range(3)
+    ]
+    serial = [np.asarray(tp(x)[0]) for x in llrs]
+    piped, agg = tp.pipelined(llrs)
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert agg["frames"] == 3 * 256

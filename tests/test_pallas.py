@@ -95,3 +95,26 @@ def test_pallas_et_reports_iterations_used():
     noisy = _llrs(code.N, 128, seed=3)
     _, iters2 = dec(noisy)
     assert 1 <= int(iters2) <= 10
+
+
+def test_pallas_odd_z_padded_layout_bit_exact():
+    """Odd-Z QC codes (Z not a sublane multiple — 1944x972's Z=81 class)
+    run on the padded-Zp layout with two-roll emulated mod-Z rotations;
+    must stay bit-exact vs the XLA reference path, with and without
+    early termination (dummy-row parity masking)."""
+    import numpy as np
+    from ldpcgputegra_tpu.codes.registry import make_random_qc_code
+    from ldpcgputegra_tpu.ops.layered import make_layered_decoder
+
+    code = make_random_qc_code(16, 8, 5, Z=12, seed=9)  # Zp = 16
+    rng = np.random.default_rng(3)
+    llr = np.clip(
+        8.0 * rng.normal(-1.0, 0.9, size=(256, code.N)), -31, 31
+    ).astype(np.int8)
+    for et in (False, True):
+        spec = LayeredSpec(algo="OMS", iters=5, early_term=et)
+        b_ref, it_ref = make_layered_decoder(code, spec)(llr)
+        dec = make_pallas_decoder(code, spec, interpret=True)
+        b_pl, it_pl = dec(llr)
+        np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_pl))
+        assert int(it_ref) == int(it_pl)
