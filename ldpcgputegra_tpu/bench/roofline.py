@@ -59,10 +59,10 @@ def ops_per_edge(
     """
     pre = spec.minclamp == "pre"
     n = 0
-    n += 1  # roll APP slab to the edge's check frame (delta-shift: the
-    # round-4 schedule stores slabs in their last check frame, so the
-    # old per-edge roll BACK no longer exists; the once-per-decode
-    # load/output rotations are amortized over iters and not charged)
+    n += 1  # roll APP slab to the edge's check frame
+    n += 1  # roll updated slab BACK to frame 0 at writeback (the
+    # round-4 delta-shift schedule that removed this roll was reverted
+    # at 0178a29 — measured net-negative; see pallas_layered.py's NOTE)
     n += 1  # message int8 -> int32 cast
     n += 3  # contribution: sub + clip(min,max)
     n += 3 if pre else 1  # |v|: (clip(2) then abs) when pre, else abs

@@ -224,10 +224,16 @@ def main() -> None:
         bound = "vpu" if t_vpu >= t_hbm else "hbm"
         r["bound"] = bound
         r["roofline_frac"] = round(max(t_vpu, t_hbm) / r["_sec"], 3)
-        r["ceiling"] = (
-            f"measured(max of probe, demonstrated by {best_code})"
-            if bound == "vpu" else r["ceiling"]
-        )
+        if bound == "vpu":
+            # only call the ceiling "measured" when a probe actually ran;
+            # without one the ceiling is the rows' own best modeled rate —
+            # self-referential (best row's frac == 1.0 by construction),
+            # so it must keep a distinguishable provenance tag (ADVICE r4)
+            r["ceiling"] = (
+                f"measured(max of probe, demonstrated by {best_code})"
+                if rates.get("vpu")
+                else f"demonstrated-only({best_code}; no VPU probe ran)"
+            )
         if r["roofline_frac"] > 1.0:
             r["roofline_suspect"] = True
             print(

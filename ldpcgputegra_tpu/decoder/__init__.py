@@ -121,7 +121,15 @@ def make_decoder(
     backend: str = "auto",
     batch_tile: Optional[int] = None,
     interpret: bool = False,
+    emit_mask: bool = False,
 ):
+    """``emit_mask=True`` makes the decoder return a third value,
+    ``ok[B] bool`` (per-frame TRUE syndrome of the output bits) — the
+    phase-1 interface of two-phase ET.  The fused Pallas QC kernel
+    computes it in-kernel (~3 VPU ops/edge, once); every other backend
+    gets a fused syndrome check appended inside one jitted call (one
+    dispatch, no extra host traffic)."""
+    orig_code = code
     if spec.schedule == "flooding":
         # Flooding works on ANY code via gather/segment-sum and gains nothing
         # from the QC view, so dispatch on the ORIGINAL code: the QC view
@@ -129,31 +137,62 @@ def make_decoder(
         # apply, which would decode permuted H against unpermuted LLRs.
         from ..ops.flooding import make_flooding_decoder
 
-        return make_flooding_decoder(code, spec)
+        return _with_mask(make_flooding_decoder(code, spec), orig_code,
+                          emit_mask)
     code = effective_code(code)
     resolved = backend_for(code, spec, backend)
     if resolved == "pallas":
         from ..kernels import make_pallas_decoder
 
         return make_pallas_decoder(
-            code, spec, batch_tile=batch_tile, interpret=interpret
+            code, spec, batch_tile=batch_tile, interpret=interpret,
+            emit_mask=emit_mask,
         )
     if resolved == "pallas-streamed":
         from ..kernels.pallas_streamed import make_streamed_decoder
 
-        return make_streamed_decoder(code, spec, batch_tile=batch_tile)
+        return _with_mask(
+            make_streamed_decoder(code, spec, batch_tile=batch_tile),
+            orig_code, emit_mask,
+        )
     if resolved == "pallas-gather":
         from ..kernels.pallas_gather import make_gather_decoder
 
-        return make_gather_decoder(code, spec, interpret=interpret)
+        return _with_mask(
+            make_gather_decoder(code, spec, interpret=interpret),
+            orig_code, emit_mask,
+        )
     if resolved == "pallas-gather-chunked":
         # compile-size-bounded gather variant (fori_loop over SMEM-indexed
         # check chunks): the fallback when the unrolled kernel's Mosaic op
         # count makes the remote backend compile impractical
         from ..kernels.pallas_gather import make_gather_decoder
 
-        return make_gather_decoder(code, spec, interpret=interpret,
-                                   chunked=True)
+        return _with_mask(
+            make_gather_decoder(code, spec, interpret=interpret,
+                                chunked=True),
+            orig_code, emit_mask,
+        )
     if resolved == "xla":
-        return make_layered_decoder(code, spec)
+        return _with_mask(make_layered_decoder(code, spec), orig_code,
+                          emit_mask)
     raise ValueError(f"unknown backend {backend!r}")
+
+
+def _with_mask(dec, code: LdpcCode, emit_mask: bool):
+    """Append a fused per-frame true-syndrome check to a (bits, iters)
+    decoder, yielding the emit_mask contract ``(bits, iters, ok[B])`` in
+    ONE jitted dispatch.  Same criterion as the fused Pallas QC kernel's
+    in-kernel syndrome pass — every backend routes identically."""
+    if not emit_mask:
+        return dec
+    from .twophase import syndrome_fn
+
+    ok_fn = syndrome_fn(code)
+
+    @jax.jit
+    def dec_mask(llr):
+        bits, iters = dec(llr)
+        return bits, iters, ok_fn(bits)
+
+    return dec_mask

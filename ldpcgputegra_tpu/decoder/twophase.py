@@ -9,17 +9,26 @@ the slowest of ~256+ codewords.
 
 The TPU answer exploits the batch instead:
 
-* phase 1 decodes the whole batch at a fixed ``k1`` iterations (no ET
-  masking — cheapest kernel) and computes each frame's syndrome on
-  device;
-* the host fetches the per-frame convergence mask (one small transfer,
-  overlappable with the next batch's dispatch) and re-decodes ONLY the
-  unconverged frames at the full iteration budget.
+* phase 1 decodes the whole batch at a fixed ``k1`` iterations with the
+  kernel's ``emit_mask`` output: the per-frame TRUE-syndrome word comes
+  straight out of the decode kernel (the fused QC kernel computes it
+  in-kernel with one ~3-ops/edge post-loop pass; other backends fuse a
+  syndrome check into the same jitted call) — there is NO separate
+  syndrome stage;
+* the host fetches ONE scalar per batch — the unconverged-frame count —
+  to pick the phase-2 bucket executable; the gather/scatter compaction
+  itself runs entirely ON DEVICE (argsort of the convergence mask), so
+  no index arrays ever cross the host boundary;
+* phase 2 re-decodes only the unconverged frames at the full iteration
+  budget, at a power-of-two bucketed batch shape (one cached executable
+  per bucket — a remote compile service must never appear inside a
+  timed region).
 
-Output semantics, precisely: frames whose syndrome is satisfied at
-``k1`` return their ``k1``-depth bits — exactly a per-frame EARLY_TERM
-exit (decoding is deterministic, and the in-kernel ET freeze likewise
-stops them there when ``k1`` ≥ their convergence point).  Frames still
+Output semantics, precisely: frames whose ``k1``-depth hard decisions
+already satisfy every parity check return those bits — a valid codeword,
+exactly a per-frame EARLY_TERM exit (decoding is deterministic, and the
+in-kernel ET freeze likewise stops them there when ``k1`` ≥ their
+convergence point).  Frames still
 unconverged at ``k1`` are re-decoded at the full fixed budget; that
 matches a per-frame-ET decoder whenever the hard decisions are stable
 between the frame's first convergence and the budget — the typical case,
@@ -86,24 +95,42 @@ def make_twophase_decoder(
     base = dataclasses.replace(spec, early_term=False)
     dec1 = make_decoder(
         code, dataclasses.replace(base, iters=k1), backend=backend,
-        interpret=interpret,
+        interpret=interpret, emit_mask=True,
     )
     dec2 = make_decoder(code, base, backend=backend, interpret=interpret)
-    ok_fn = syndrome_fn(code)
 
     @jax.jit
     def phase1(llr):
-        bits, _ = dec1(llr)
-        return bits, ok_fn(bits)
+        """One dispatch: k1-iteration decode + in-kernel/fused convergence
+        mask + the unconverged count (the ONLY value the host ever reads)."""
+        bits, _, ok = dec1(llr)
+        return bits, ok, jnp.sum(~ok)
 
-    @jax.jit
-    def phase2(llr, bits, gat, scat):
-        """The whole phase-2 pipeline (gather + deep decode + scatter) as
-        ONE jitted function: its executable is cached per bucket shape, so
-        a throughput study that pre-warms the buckets times pure decode,
-        never a remote recompile (ADVICE r3 #1)."""
-        tail_bits, _ = dec2(jnp.take(llr, gat, axis=0))
-        return bits.at[scat].set(tail_bits, mode="drop")
+    _p2: dict[int, object] = {}
+
+    def _phase2_for(t: int):
+        """Phase-2 executable at bucket size ``t``: on-device compaction
+        (stable argsort of the mask — unconverged frames first, original
+        order), deep decode of the bucketed tail, scatter-merge.  No host
+        index building, no host->device uploads (VERDICT r4 #6)."""
+        if t not in _p2:
+
+            @jax.jit
+            def p2(llr, bits, ok):
+                b = llr.shape[0]
+                te = min(t, b)  # bucket may round past a small batch
+                idx = jnp.argsort(ok.astype(jnp.int32), stable=True)
+                gat = idx[:te]  # tail frames + converged fill (re-decoded,
+                # discarded): the fill decode is the price of a static shape
+                tail_bits, _ = dec2(jnp.take(llr, gat, axis=0))
+                cnt = jnp.sum(~ok)
+                # scatter only the true tail; fill rows target the
+                # out-of-range index b -> dropped by XLA scatter mode="drop"
+                scat = jnp.where(jnp.arange(te) < cnt, gat, b)
+                return bits.at[scat].set(tail_bits, mode="drop")
+
+            _p2[t] = p2
+        return _p2[t]
 
     def _bucket(n: int, b: int) -> int:
         """Tail batch size: the next power-of-two multiple of ``tail_pad``
@@ -119,58 +146,43 @@ def make_twophase_decoder(
             t *= 2
         return min(t, cap)
 
-    def decode(llr, ref_bits: Optional[np.ndarray] = None):
-        del ref_bits
-        llr = jnp.asarray(llr, jnp.int8)  # stays on device throughout
-        b = llr.shape[0]
-        bits, ok = phase1(llr)
-        # the per-frame mask is the ONLY host fetch (B bytes)
-        bad = np.flatnonzero(~np.asarray(ok))
-        tail = _bucket(bad.size, b) if bad.size else 0
-        stats = {
-            "phase2_frames": int(bad.size),
+    def _stats(n_bad: int, tail: int, b: int) -> dict:
+        return {
+            "phase2_frames": int(n_bad),
             # what the DEVICE decodes: phase 2 runs the BUCKETED tail
-            # (power-of-two multiple of tail_pad), not bad.size frames —
+            # (power-of-two multiple of tail_pad), not n_bad frames —
             # the honest cost stat charges the bucketed batch
             "phase2_batch": int(tail),
             "eff_iters_per_frame": k1 + spec.iters * tail / max(b, 1),
             # the unbucketed ideal (what a perfectly-shaped phase 2 would
             # cost), kept for comparing against the k1 + FER(k1)*budget model
             "eff_iters_per_frame_ideal":
-                k1 + spec.iters * bad.size / max(b, 1),
+                k1 + spec.iters * n_bad / max(b, 1),
         }
-        if bad.size == 0:
+
+    def decode(llr, ref_bits: Optional[np.ndarray] = None):
+        del ref_bits
+        llr = jnp.asarray(llr, jnp.int8)  # stays on device throughout
+        b = llr.shape[0]
+        bits, ok, cnt = phase1(llr)
+        n_bad = int(cnt)  # the one host fetch: a single scalar
+        tail = _bucket(n_bad, b) if n_bad else 0
+        stats = _stats(n_bad, tail, b)
+        if n_bad == 0:
             return bits, stats
-        # Both the gather AND the scatter run at the bucketed shape: the
-        # first live ET study timed ~4.7 s/call because the old scatter
-        # (`bits.at[bad].set(tail_bits[:bad.size])`) had a distinct
-        # bad.size almost every call — a fresh executable per call on a
-        # remote-compile backend.  Pad gather indices with frame 0 (its
-        # redundant decode is discarded) and scatter indices with the
-        # out-of-range value b, dropped by XLA scatter mode="drop", so the
-        # whole phase-2 pipeline has one executable per bucket size.
-        pad = tail - bad.size
-        gat = jnp.asarray(
-            np.concatenate([bad, np.zeros(pad, np.int64)]).astype(np.int32)
-        )
-        scat = jnp.asarray(
-            np.concatenate([bad, np.full(pad, b, np.int64)]).astype(np.int32)
-        )
-        # device-side gather/decode/scatter: no LLR or bit array ever
-        # crosses the host boundary
-        out = phase2(llr, bits, gat, scat)
+        out = _phase2_for(tail)(llr, bits, ok)
         return out, stats
 
     def warm_buckets(llr) -> list[int]:
         """Compile phase 1 and EVERY possible phase-2 bucket executable
-        for this batch shape (dummy indices; results discarded).  Call
+        for this batch shape (dummy mask; results discarded).  Call
         before timing on a remote-compile backend: otherwise the first
         occurrence of each tail bucket puts a multi-second compile inside
         the timed region — exactly the pathology the round-3 ET study
         published as 2-5 Mbps (ADVICE r3 #1)."""
         llr = jnp.asarray(llr, jnp.int8)
         b = llr.shape[0]
-        bits, _ = phase1(llr)
+        bits, ok, _ = phase1(llr)
         cap = -(-b // tail_pad) * tail_pad
         sizes = []
         t = tail_pad
@@ -179,53 +191,40 @@ def make_twophase_decoder(
             t *= 2
         sizes.append(cap)
         for t in sizes:
-            gat = jnp.zeros((t,), jnp.int32)
-            scat = jnp.full((t,), b, jnp.int32)  # all dropped
-            jax.block_until_ready(phase2(llr, bits, gat, scat))
+            jax.block_until_ready(_phase2_for(t)(llr, bits, ok))
         return sizes
 
     def decode_pipelined(llrs):
         """Decode a SEQUENCE of batches with software pipelining: every
         batch's phase 1 is dispatched up front (the device queue holds
-        them), so each per-batch convergence-mask fetch — the one
-        mandatory host round trip in the two-phase design, ~25 ms on a
-        relayed backend — overlaps the other batches' phase-1 compute
-        instead of serializing after it.  This is how a production sweep
+        them), and the per-batch unconverged COUNTS — one int32 each, the
+        only host-visible values in the whole design — are fetched in a
+        single stacked transfer (~25 ms round trip on a relayed backend,
+        paid once per window, not once per batch).  Phase 2 then
+        dispatches per batch with its on-device compaction; no other
+        host<->device traffic exists.  This is how a production sweep
         consumes the decoder (`sim/sweep.py`'s dispatch window does the
         same for whole sim steps); the serial `decode()` number on a
         relay measures RTT, not decode.
 
         Returns (list of bits arrays, aggregate stats dict)."""
         staged = [phase1(jnp.asarray(x, jnp.int8)) for x in llrs]
-        # ONE host transfer for every batch's convergence mask: each
-        # np.asarray(ok) costs a full ~25 ms round trip on the relay no
-        # matter how well dispatch overlaps (round-4 measurement: the
-        # per-batch-fetch version ran 12 batches in 0.415 s = 12 RTTs)
-        all_ok = np.asarray(jnp.stack([ok for _, ok in staged]))
+        cnts = np.asarray(jnp.stack([c for _, _, c in staged]))
         outs = []
         agg = {"phase2_frames": 0, "phase2_batch": 0, "frames": 0}
-        for i, (x, (bits, _ok)) in enumerate(zip(llrs, staged)):
-            ok = all_ok[i]
-            llr = jnp.asarray(x, jnp.int8)
-            b = llr.shape[0]
-            bad = np.flatnonzero(~ok)
-            tail = _bucket(bad.size, b) if bad.size else 0
-            agg["phase2_frames"] += int(bad.size)
+        for x, (bits, ok, _), n_bad in zip(llrs, staged, cnts):
+            b = int(np.shape(x)[0])
+            n_bad = int(n_bad)
+            tail = _bucket(n_bad, b) if n_bad else 0
+            agg["phase2_frames"] += n_bad
             agg["phase2_batch"] += int(tail)
             agg["frames"] += b
-            if bad.size == 0:
+            if n_bad == 0:
                 outs.append(bits)
                 continue
-            pad = tail - bad.size
-            gat = jnp.asarray(
-                np.concatenate([bad, np.zeros(pad, np.int64)])
-                .astype(np.int32)
+            outs.append(
+                _phase2_for(tail)(jnp.asarray(x, jnp.int8), bits, ok)
             )
-            scat = jnp.asarray(
-                np.concatenate([bad, np.full(pad, b, np.int64)])
-                .astype(np.int32)
-            )
-            outs.append(phase2(llr, bits, gat, scat))
         agg["eff_iters_per_frame"] = (
             k1 + spec.iters * agg["phase2_batch"] / max(agg["frames"], 1)
         )

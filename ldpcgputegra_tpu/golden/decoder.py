@@ -84,17 +84,27 @@ def decode_golden(
     code: LdpcCode,
     llr: np.ndarray,
     params: GoldenParams = GoldenParams(),
-) -> tuple[np.ndarray, int]:
+    return_final_parity: bool = False,
+) -> tuple:
     """Decode one int8 LLR frame [N]; returns (hard bits [N], iters used).
 
     Sign convention follows the reference: negative LLR <=> bit 0, hard
     decision bit = (app > 0)  (``CDecoder_OMS_fixed_x86.cpp:199-201``).
+
+    ``return_final_parity=True`` appends the LAST executed iteration's
+    accumulated on-the-fly parity (the reference's EARLY_TERM convergence
+    word, ``CUDA_MS_SIMD.cu:242-245``): 0 <=> converged.  NOTE: this
+    extrinsic-sign criterion lags the hard decisions — the Pallas
+    ``emit_mask`` output emits the TRUE syndrome of the output bits
+    instead (see ``syndrome_ok``), which measured ~1 iteration less
+    conservative on silicon.
     """
     assert llr.shape == (code.N,)
     sv, sm = params.sat_var, params.sat_msg
     v = llr.astype(np.int64).copy()
     msgs = [np.zeros_like(ci, dtype=np.int64) for ci in code.class_idx]
     it_used = params.iters
+    ov_sign = 1
     for it in range(params.iters):
         ov_sign = 0
         for ci, mg in zip(code.class_idx, msgs):
@@ -128,7 +138,10 @@ def decode_golden(
         if params.early_term and ov_sign == 0:
             it_used = it + 1
             break
-    return (v > 0).astype(np.int8), it_used
+    bits = (v > 0).astype(np.int8)
+    if return_final_parity:
+        return bits, it_used, ov_sign
+    return bits, it_used
 
 
 def syndrome_ok(code: LdpcCode, bits: np.ndarray) -> bool:

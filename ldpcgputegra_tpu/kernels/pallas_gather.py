@@ -130,7 +130,7 @@ def gather_vmem_bytes(code: LdpcCode, spec: LayeredSpec,
 
 
 def pick_sublanes(code: LdpcCode, spec: LayeredSpec,
-                  budget: int = 100 << 20, chunked: bool = False) -> int:
+                  budget: int | None = None, chunked: bool = False) -> int:
     """8 sublanes (full-VREG rows) when the working set fits, else 4
     (half-VREG loads — lets 8000x4000/9972x4986 in).  The chunked kernel
     additionally supports 2 and, when even that overflows with pipeline
@@ -138,14 +138,15 @@ def pick_sublanes(code: LdpcCode, spec: LayeredSpec,
     ``pick_chunked_config``) — which fits 20000x10000."""
     if chunked:
         return pick_chunked_config(code, spec, budget)[0]
+    b = budget if budget is not None else 100 << 20
     for sub in (8, 4):
-        if gather_vmem_bytes(code, spec, sub) <= budget:
+        if gather_vmem_bytes(code, spec, sub) <= b:
             return sub
     return 0
 
 
 def pick_chunked_config(code: LdpcCode, spec: LayeredSpec,
-                        budget: int = 100 << 20) -> tuple[int, str]:
+                        budget: int | None = None) -> tuple[int, str]:
     """(sublanes, io_mode) for the chunked kernel; (0, "") if nothing
     fits.  io_mode is one of ``"win"`` (pipelined LLR/bit windows,
     messages VMEM-resident), ``"io"`` (LLR/bits DMA'd through one VMEM
@@ -161,14 +162,19 @@ def pick_chunked_config(code: LdpcCode, spec: LayeredSpec,
     # mode, cheapest io mode first within a width.  The non-windowed
     # estimates' dominant term (the sublane-padded APP) is exact, not a
     # guess, so they can run closer to the 120 MiB authorization.
+    # Per-mode default ceilings: 100 MiB for "win" (the pipeline-window
+    # estimate is the loosest), 106/112 MiB for io/stream (their dominant
+    # sublane-padded-APP term is exact).  An explicit caller budget is
+    # honored for EVERY mode — it is a hard cap, never raised.
+    b_win = budget if budget is not None else 100 << 20
+    b_io = budget if budget is not None else 106 << 20
+    b_stream = budget if budget is not None else 112 << 20
     for sub in (8, 4, 2):
-        if chunked_vmem_bytes(code, spec, sub) <= budget:
+        if chunked_vmem_bytes(code, spec, sub) <= b_win:
             return sub, "win"
-        if chunked_vmem_bytes(code, spec, sub, hbm_io=True) \
-                <= max(budget, 106 << 20):
+        if chunked_vmem_bytes(code, spec, sub, hbm_io=True) <= b_io:
             return sub, "io"
-        if chunked_streamed_vmem_bytes(code, spec, sub) \
-                <= max(budget, 112 << 20):
+        if chunked_streamed_vmem_bytes(code, spec, sub) <= b_stream:
             return sub, "stream"
     return 0, ""
 
@@ -1040,9 +1046,22 @@ def make_gather_decoder(
     )
     N = code.N
     if chunked:
-        auto_sub, auto_mode = (sublanes, None) if sublanes is not None \
-            else pick_chunked_config(code, spec)
-        sub = auto_sub
+        if sublanes is not None:
+            sub = sublanes
+            # derive the io mode AT THIS WIDTH when the caller pinned
+            # sublanes but not io_mode — defaulting to "win" here built
+            # kernels that OOM scoped VMEM at runtime (ADVICE r4)
+            auto_mode = None
+            if io_mode is None and hbm_io is None:
+                if chunked_vmem_bytes(code, spec, sub) <= 100 << 20:
+                    auto_mode = "win"
+                elif chunked_vmem_bytes(code, spec, sub, hbm_io=True) \
+                        <= 106 << 20:
+                    auto_mode = "io"
+                else:
+                    auto_mode = "stream"
+        else:
+            sub, auto_mode = pick_chunked_config(code, spec)
         if io_mode is None:
             if hbm_io is not None:
                 io_mode = "io" if hbm_io else "win"

@@ -136,7 +136,8 @@ def _f_consts(min1, min2, spec: LayeredSpec):
 # commits is kept (that one measured a large win).
 
 
-def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
+def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int,
+                  emit_mask: bool = False):
     layers = code.layers  # all QC (checked by pallas_supported)
     Nb = code.N // Z
     # odd-Z codes (1944x972's Z=81 is the registry's only one) run on a
@@ -248,12 +249,38 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             parity = jnp.where(i < Z, parity, 0)
         return parity
 
-    def kernel(llr_ref, out_ref, iters_ref, v_ref, m_ref, unsat_ref,
-               cnt_ref, *et_scratch):
+    def syndrome_pass(v_ref, layer):
+        """[Zp, TB] TRUE-syndrome parity of one layer from the current
+        APP hard decisions (bit = app > 0): roll + sign + xor per edge —
+        ~3 VPU ops/edge vs ~23 for a decode iteration.  Runs ONCE after
+        the final iteration in emit_mask mode; masking rules (deficient
+        circulants, sub-pass commit rows, dummy Zp rows) mirror
+        ``layer_pass`` so every check is counted exactly once."""
+        cols = layer.qc.cols.tolist()
+        shifts = layer.qc.shifts.tolist()
+        me = layer.qc.mask_edge
+        mrow = _row_mask(Zp, layer.qc.mask_rows) if me is not None else None
+        par = None
+        for j in range(layer.deg):
+            v = _roll_mod(v_ref[cols[j]], shifts[j], Z, Zp)
+            s = (v > 0).astype(_CT)
+            if me is not None and j == me:
+                s = jnp.where(mrow, 0, s)  # nonexistent edge: no bit
+            par = s if par is None else par ^ s
+        if layer.qc.commit_rows is not None:
+            par = jnp.where(_row_mask(Zp, layer.qc.commit_rows), par, 0)
+        if Zp != Z:
+            i = jax.lax.broadcasted_iota(jnp.int32, (Zp, 1), 0)
+            par = jnp.where(i < Z, par, 0)
+        return par
+
+    def kernel(llr_ref, out_ref, iters_ref, *rest):
+        if emit_mask:
+            ok_ref, *rest = rest
+        v_ref, m_ref, unsat_ref, cnt_ref, *et_scratch = rest
         b_save_ref = et_scratch[0] if spec.early_term else None
-        # load LLRs into the VMEM-resident int32 APP state (the wrapper
-        # delivers them pre-rotated to the delta-shift fixed point);
-        # zero the messages
+        # load LLRs into the VMEM-resident int32 APP state; zero the
+        # messages
         v_ref[...] = llr_ref[...].astype(_CT)
         m_ref[...] = jnp.zeros_like(m_ref)
         cnt_ref[0] = jnp.asarray(0 if spec.early_term else spec.iters,
@@ -319,6 +346,22 @@ def _build_kernel(code: LdpcCode, spec: LayeredSpec, Z: int, TB: int):
             )
         else:
             out_ref[...] = (v_ref[...] > 0).astype(_ST)
+        if emit_mask:
+            # TRUE syndrome of the output hard decisions, computed
+            # in-kernel (~3 ops/edge, once — ~1% of a 10-iter decode):
+            # routing on it sends strictly the non-codeword frames to
+            # phase 2.  (The reference's on-the-fly EARLY_TERM parity
+            # word was measured far more conservative on silicon: at
+            # 576x288/3.0dB/k1=5 it flagged 33% of frames unconverged
+            # vs the true syndrome's 1% — it checks extrinsic-sign
+            # parity, which lags the APP hard decisions by ~1 iteration.)
+            unsat = None
+            for layer in layers:
+                par = syndrome_pass(v_ref, layer)
+                unsat = par if unsat is None else jnp.maximum(unsat, par)
+            ok_ref[...] = (unsat.max(axis=0)[None, :] == 0).astype(
+                jnp.int32
+            )
         # iters_used output is ONE (1, 1) SMEM cell accumulated across grid
         # steps (max over tiles) — per-tile (1, 1) blocks of an (ntiles, 1)
         # array fail the Mosaic block-mapping divisibility check
@@ -364,6 +407,7 @@ def make_pallas_decoder(
     spec: LayeredSpec = LayeredSpec(),
     batch_tile: int | None = None,
     interpret: bool = False,
+    emit_mask: bool = False,
 ):
     """Build ``decode(llr[B, N] int8) -> (bits[B, N] uint8, iters_used)``.
 
@@ -371,8 +415,24 @@ def make_pallas_decoder(
     grid step decodes its tile fully on-chip.  ``iters_used`` is
     ``spec.iters`` (per-lane early termination happens inside the kernel;
     the reference reports fixed-iteration counts the same way).
+
+    ``emit_mask=True`` adds a third return, ``ok[B] bool``: the TRUE
+    per-frame syndrome of the output hard decisions, computed IN-KERNEL
+    by one cheap post-loop pass (~3 VPU ops/edge, ~1% of a 10-iter
+    decode).  This is the phase-1 interface of the two-phase compaction
+    ET (``decoder/twophase.py``) — it deletes that design's separate
+    device syndrome stage (VERDICT r4 #6).  The reference's EARLY_TERM
+    breaks on the on-the-fly extrinsic parity word instead
+    (``CUDA_MS_SIMD.cu:242-245``); that criterion lags the hard
+    decisions by ~1 iteration (measured: 33% vs 1% flagged unconverged
+    at 576x288/3.0dB/k1=5), so routing on the true syndrome is both
+    safe (only non-codeword frames re-decode) and strictly cheaper.
     """
     assert pallas_supported(code, spec), f"{code.name}: not all-QC layers"
+    assert not (emit_mask and spec.early_term), (
+        "emit_mask is the phase-1 interface of two-phase ET; combining it "
+        "with in-kernel snapshot ET is unsupported"
+    )
     Z = code.Z
     Zp = -(-Z // 8) * 8  # sublane-aligned layout (odd-Z emulated rolls)
     Nb = code.N // Z
@@ -390,8 +450,29 @@ def make_pallas_decoder(
         B = llr3.shape[-1]
         TB = _tile_for(B)
         if TB not in kernels:
-            kernels[TB] = _build_kernel(code, spec, Z, TB)
+            kernels[TB] = _build_kernel(code, spec, Z, TB,
+                                        emit_mask=emit_mask)
         kernel = kernels[TB]
+        out_specs = (
+            pl.BlockSpec(
+                (Nb, Zp, TB), lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((Nb, Zp, B), _ST),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        )
+        if emit_mask:
+            out_specs = out_specs + (
+                pl.BlockSpec((1, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            )
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((1, B), jnp.int32),
+            )
         return pl.pallas_call(
             kernel,
             grid=(B // TB,),
@@ -401,18 +482,8 @@ def make_pallas_decoder(
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=(
-                pl.BlockSpec(
-                    (Nb, Zp, TB), lambda i: (0, 0, i),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((Nb, Zp, B), _ST),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            ),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((Nb, Zp, TB), _CT),  # APP state (int32: rollable)
                 pltpu.VMEM((n_msg_slabs, Zp, TB), _ST),  # c2v messages
@@ -457,7 +528,8 @@ def make_pallas_decoder(
         llr3 = llr.T.reshape(Nb, Z, B)
         if Zp != Z:  # odd-Z: pad dummy rows (kernel keeps them isolated)
             llr3 = jnp.pad(llr3, ((0, 0), (0, Zp - Z), (0, 0)))
-        out3, tile_iters = _call(llr3)
+        res = _call(llr3)
+        out3, tile_iters = res[0], res[1]
         if Zp != Z:
             out3 = out3[:, :Z, :]
         bits = out3.reshape(code.N, B).T.astype(jnp.uint8)
@@ -465,8 +537,12 @@ def make_pallas_decoder(
             bits = bits[:, inv_perm]
         if pad:
             bits = bits[:B0]
+        iters_used = tile_iters.max().astype(jnp.int32)
         # actual iterations used = the slowest tile's count (ET kernels
         # count executed iterations; fixed-iteration kernels report iters)
-        return bits, tile_iters.max().astype(jnp.int32)
+        if emit_mask:
+            ok = res[2][0, :B0] != 0  # [B] bool, lane padding sliced off
+            return bits, iters_used, ok
+        return bits, iters_used
 
     return decode

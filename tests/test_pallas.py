@@ -118,3 +118,106 @@ def test_pallas_odd_z_padded_layout_bit_exact():
         b_pl, it_pl = dec(llr)
         np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_pl))
         assert int(it_ref) == int(it_pl)
+
+
+def test_pallas_emit_mask_matches_true_syndrome():
+    """emit_mask: the kernel's third output is the TRUE per-frame
+    syndrome of the output hard decisions, pinned against the
+    golden-model bits + syndrome_ok (and against syndrome_fn on the
+    whole batch)."""
+    from ldpcgputegra_tpu.decoder.twophase import syndrome_fn
+    from ldpcgputegra_tpu.golden.decoder import syndrome_ok
+
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=4)
+    dec = make_pallas_decoder(
+        code, spec, batch_tile=128, interpret=True, emit_mask=True
+    )
+    # moderate noise (sigma 0.75 at 4 iters: ~35/48 syndrome-ok —
+    # measured): the batch must contain BOTH kinds of frames
+    rng = np.random.default_rng(21)
+    llr = np.clip(
+        8.0 * rng.normal(-1.0, 0.75, size=(128, code.N)), -31, 31
+    ).astype(np.int8)
+    bits, _, ok = dec(llr)
+    bits, ok = np.asarray(bits), np.asarray(ok)
+    assert ok.shape == (128,) and ok.dtype == np.bool_
+    assert 0 < ok.sum() < 128, "test needs a mixed batch"
+    np.testing.assert_array_equal(
+        ok, np.asarray(syndrome_fn(code)(bits))
+    )
+    gp = GoldenParams(algo="OMS", iters=4)
+    for b in range(16):
+        ref, _ = decode_golden(code, llr[b], gp)
+        np.testing.assert_array_equal(bits[b], ref, err_msg=f"frame {b}")
+        assert bool(ok[b]) == syndrome_ok(code, bits[b]), f"frame {b}"
+
+
+def test_pallas_emit_mask_ragged_batch():
+    """Lane padding must be sliced off the mask output."""
+    code = load_code("576x288")
+    dec = make_pallas_decoder(
+        code, LayeredSpec(algo="OMS", iters=2), batch_tile=128,
+        interpret=True, emit_mask=True,
+    )
+    llr = _llrs(code.N, 70, seed=3)
+    bits, _, ok = dec(llr)
+    assert np.asarray(bits).shape == (70, code.N)
+    assert np.asarray(ok).shape == (70,)
+
+
+def test_pallas_emit_mask_subpass_oddz():
+    """emit_mask's in-kernel syndrome pass must honor sub-pass commit
+    rows (repeated block-columns) and padded-Z dummy rows: build a small
+    QC code with both, decode in interpret mode, pin ok against
+    syndrome_fn of the returned bits."""
+    from ldpcgputegra_tpu.codes.code import (
+        DegreeClass, Layer, LdpcCode, QCRow,
+    )
+    from ldpcgputegra_tpu.codes.dvbs2 import _conflict_groups
+    from ldpcgputegra_tpu.decoder.twophase import syndrome_fn
+
+    rng = np.random.default_rng(7)
+    z, n_cols, n_rows = 12, 4, 2  # z=12: exercises the Zp=16 padded path
+    zz = np.arange(z, dtype=np.int64)[:, None]
+    layers, classes, class_idx = [], [], []
+    off = 0
+    got_subpass = False
+    for _ in range(n_rows):
+        deg = 4
+        while True:
+            cols = rng.integers(0, n_cols, size=deg).astype(np.int32)
+            shifts = rng.integers(0, z, size=deg).astype(np.int32)
+            if len({(int(c), int(s)) for c, s in zip(cols, shifts)}) == deg:
+                break
+        idx = (cols[None, :] * z + (shifts[None, :] + zz) % z).astype(
+            np.int32
+        )
+        groups = _conflict_groups(cols, shifts, z)
+        got_subpass |= len(groups) > 1
+        for g in groups:
+            layers.append(Layer(
+                idx=idx, edge_offset=off,
+                qc=QCRow(cols=cols, shifts=shifts,
+                         commit_rows=None if len(groups) == 1 else g),
+            ))
+        classes.append(DegreeClass(deg, z))
+        class_idx.append(idx)
+        off += idx.size
+    code = LdpcCode(
+        name="subpass_oddz", N=n_cols * z, K=n_cols * z - n_rows * z,
+        classes=tuple(classes), class_idx=tuple(class_idx), Z=z,
+        layers=tuple(layers),
+    )
+    assert got_subpass, "seed must produce a repeated block-column"
+    dec = make_pallas_decoder(
+        code, LayeredSpec(algo="OMS", iters=3), batch_tile=128,
+        interpret=True, emit_mask=True,
+    )
+    llr = np.clip(
+        8.0 * rng.normal(-0.6, 1.0, size=(128, code.N)), -31, 31
+    ).astype(np.int8)
+    bits, _, ok = dec(llr)
+    bits, ok = np.asarray(bits), np.asarray(ok)
+    np.testing.assert_array_equal(ok, np.asarray(syndrome_fn(code)(bits)))
+    assert 0 < ok.sum() < 128  # mixed batch: the pin is non-trivial

@@ -2,11 +2,14 @@
 """Pipelined two-phase ET measurement (ET.md addendum).
 
 The serial two-phase number on a relayed backend measures the ~25 ms
-per-call host round trip (the convergence-mask fetch), not decode: the
-round-4 study saw 300-500 Mbps at effective 5.1-5.6 iters/frame.  This
-tool measures `decode_pipelined` — every batch's phase 1 dispatched up
-front so mask fetches overlap compute, exactly how the production sweep
-consumes a decoder — and appends the rows to benchmarks/ET.md.
+per-call host round trip (the convergence-count fetch), not decode.
+This tool measures `decode_pipelined` — every batch's phase 1 dispatched
+up front, ONE stacked count fetch per window, on-device compaction
+(round 5: the in-kernel emit_mask output replaced the separate syndrome
+pass, and argsort compaction replaced host-built gather indices) — and
+an apples-to-apples FIXED-10 baseline driven the exact same way (all
+dispatches queued, one block at the end).  Appends rows to
+benchmarks/ET.md.
 
 Run on the live chip: python tools/run_et_pipelined.py
 """
@@ -23,19 +26,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 from ldpcgputegra_tpu.codes.registry import load_code  # noqa: E402
+from ldpcgputegra_tpu.decoder import make_decoder  # noqa: E402
 from ldpcgputegra_tpu.decoder.twophase import make_twophase_decoder  # noqa: E402
 from ldpcgputegra_tpu.ops.layered import LayeredSpec  # noqa: E402
 from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
-# (code, batch, SNR, algo) — the study's operating points
+# (code, batch, SNR, algo) — the study's operating points; the second
+# SNR per code is the P(conv<=5)>=0.99 point (ET_convergence.md)
 CONFIGS = [
     ("576x288", 16384, 3.0, "2NMS"),
+    ("576x288", 16384, 3.5, "2NMS"),
     ("1944x972", 8192, 2.75, "2NMS"),
+    ("1944x972", 8192, 3.25, "2NMS"),
     ("2304x1152", 8192, 2.5, "2NMS"),
+    ("2304x1152", 8192, 3.0, "2NMS"),
     ("4000x2000", 4096, 2.25, "2NMS"),
     ("576x288", 16384, 3.0, "OMS"),
 ]
-N_BATCH = 12
+# windows must dwarf the one count-fetch RTT (~25 ms) AND relay timing
+# noise: 48 batches put ~0.3-1 s on the wall (VERDICT r4 weak #5 flagged
+# 12-batch ~0.1 s walls as RTT-noise-dominated)
+N_BATCH = 48
 
 
 def main() -> None:
@@ -56,6 +67,7 @@ def main() -> None:
         mc = "pre" if algo == "OMS" else "post"
         spec = LayeredSpec(algo=algo, iters=10, minclamp=mc)
         tp = make_twophase_decoder(code, spec, k1=5)
+        d10 = make_decoder(code, spec)
         chan = AwgnChannel(code.N, code.K, ChannelSpec())
         chan.configure(snr)
         llrs = [
@@ -63,7 +75,7 @@ def main() -> None:
             for i in range(2 * N_BATCH)
         ]
         tp.warm_buckets(llrs[0])
-        # warm with a FULL-SIZE disjoint pipelined call: the K-batch mask
+        # warm with a FULL-SIZE disjoint pipelined call: the K-batch count
         # stack is its own executable, and a smaller warm run left its
         # first-use compile inside the timed region (round 4: 0.70 s vs
         # 0.09 s on identical shapes); disjoint batches keep the timed
@@ -71,13 +83,26 @@ def main() -> None:
         tp.pipelined(llrs[:N_BATCH])
         t0 = time.perf_counter()
         outs, agg = tp.pipelined(llrs[N_BATCH:])
-        jax.block_until_ready(outs[-1])
+        jax.block_until_ready(outs)
         sec = time.perf_counter() - t0
         mbps = N_BATCH * batch * code.N / sec / 1e6
+
+        # fixed-10 baseline, driven IDENTICALLY: queue every dispatch,
+        # block once (the old study compared pipelined two-phase against
+        # a slope-harness fixed-10 — different consumption patterns)
+        jax.block_until_ready([d10(x)[0] for x in llrs[:N_BATCH]])  # warm
+        t0 = time.perf_counter()
+        f_outs = [d10(x)[0] for x in llrs[N_BATCH:]]
+        jax.block_until_ready(f_outs)
+        f_sec = time.perf_counter() - t0
+        f_mbps = N_BATCH * batch * code.N / f_sec / 1e6
+
         rec = {
             "code": name, "algo": algo, "snr_db": snr, "batch": batch,
             "n_batches": N_BATCH, "wall_s": round(sec, 3),
             "pipelined_twophase_mbps": round(mbps, 1),
+            "fixed10_pipelined_mbps": round(f_mbps, 1),
+            "vs_fixed10": round(mbps / f_mbps, 2),
             "eff_iters_per_frame": round(agg["eff_iters_per_frame"], 2),
             "phase2_frac": round(
                 agg["phase2_frames"] / max(agg["frames"], 1), 4
@@ -90,21 +115,24 @@ def main() -> None:
                        "ET.md")
     with open(out, "a") as f:
         f.write(
-            f"\n## Pipelined two-phase ET ({time.strftime('%Y-%m-%d')})\n\n"
-            "The serial two-phase rows above pay the mandatory per-call "
-            "host round trip (~25 ms on the relay) SERIALLY — they "
-            "measure RTT, not decode.  `decode_pipelined` dispatches all "
-            "phase-1 executables up front so the mask fetches overlap "
-            "compute (the production sweep's consumption pattern, "
-            "`sim/sweep.py:352`); wall-clock over "
-            f"{N_BATCH} batches:\n\n"
-            "| code | algo | SNR | pipelined two-phase Mbps | eff iters "
-            "| phase-2 frac |\n|---|---|---|---|---|---|\n"
+            f"\n## Pipelined two-phase ET ({time.strftime('%Y-%m-%d')}, "
+            "in-kernel mask + on-device compaction)\n\n"
+            "Phase 1 emits the convergence word from the decode kernel "
+            "itself (`emit_mask`), the host fetches one COUNT per batch "
+            "(stacked, one transfer per window), and compaction is an "
+            "on-device argsort — no syndrome stage, no host-built "
+            "indices (VERDICT r4 #6).  `fixed10` is measured with the "
+            "same dispatch-all/block-once pattern over the same "
+            f"{N_BATCH}-batch windows:\n\n"
+            "| code | algo | SNR | two-phase Mbps | fixed-10 Mbps "
+            "| ratio | eff iters | phase-2 frac |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
         for r in recs:
             f.write(
                 f"| {r['code']} | {r['algo']} | {r['snr_db']} "
                 f"| {r['pipelined_twophase_mbps']} "
+                f"| {r['fixed10_pipelined_mbps']} | {r['vs_fixed10']}x "
                 f"| {r['eff_iters_per_frame']} | {r['phase2_frac']} |\n"
             )
         f.write("\n```json\n")
