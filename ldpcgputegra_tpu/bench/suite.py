@@ -42,6 +42,25 @@ CONFIGS = [
     # rate 2/3: the sub-pass-split schedule (repeated block-columns) —
     # measures the corrected schedule's ~10% extra layer passes
     ("64800x21600", 512, {}),
+    # ---- registry tail (VERDICT r4 #4: every imported code gets a
+    # published throughput row; 10-iter only to bound suite time) ----
+    ("155x93", 16384, {}, (10,)),   # smallest QC code; odd Z=31 padding
+    ("200x100", 16384, {}, (10,)),
+    ("816x408", 8192, {}, (10,)),
+    ("1024x518", 8192, {}, (10,)),
+    # the reference's compile-time DEFAULT code (matrix/code.h:1)
+    ("1200x600", 8192, {}, (10,)),
+    ("1248x624", 8192, {}, (10,)),
+    ("2640x1320", 4096, {}, (10,)),
+    ("802_11e_576x288", 16384, {}, (10,)),
+    ("802_11e_1920x960", 8192, {}, (10,)),
+    ("802_11e_2304x1152", 8192, {}, (10,)),
+    ("802_11n-1944x972", 8192, {}, (10,)),
+    ("16200x10800", 1024, {}, (10,)),
+    ("64800x32400-dvbs2", 512, {}, (10,)),
+    # DVB-S2 rate extremes (9/10 and 8/9)
+    ("64800x6480-dvbs2", 512, {}, (10,)),
+    ("64800x7200-dvbs2", 512, {}, (10,)),
 ]
 
 
@@ -71,6 +90,15 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
         from .audit import audited_ops_per_edge
 
         ops_override = audited_ops_per_edge(eff, spec)
+    elif backend in ("pallas-gather", "pallas-gather-chunked"):
+        # gather kernels: trip-weighted nested-loop audit (VERDICT r4 #6
+        # — the chunked backend carried 8 RESULTS rows with ops_src:
+        # model); measured ~13% below the structural model (elided ops)
+        from .audit import audited_ops_per_edge_gather
+
+        ops_override = audited_ops_per_edge_gather(
+            eff, spec, chunked=backend.endswith("chunked")
+        )
     roof = roofline_report(
         eff, spec, batch, sec, streamed=(backend == "pallas-streamed"),
         vpu_rate=rates.get("vpu"), hbm_rate=rates.get("hbm"),
@@ -167,8 +195,10 @@ def main() -> None:
     rates = probe_rates()
 
     rows = []
-    for name, batch, baselines in CONFIGS:
-        for iters in (10, 5):
+    for ent in CONFIGS:
+        name, batch, baselines = ent[:3]
+        iters_list = ent[3] if len(ent) > 3 else (10, 5)
+        for iters in iters_list:
             t0 = time.time()
             try:
                 r = bench_one(name, batch, iters, args.quick, rates)

@@ -108,21 +108,50 @@ def make_twophase_decoder(
 
     _p2: dict[int, object] = {}
 
+    def _gather_idx(ok, t: int):
+        """Indices of the first ``t`` unconverged frames (original order;
+        out-of-range ``b`` fill beyond the count).  Measured op choice on
+        silicon (round 5): a 1-D argsort/cumsum over B lanes costs
+        1.2-2.0 ms at B=16k (terrible XLA layout for 1-D scans); the
+        2-D-reshaped cumsum + searchsorted form is 0.26 ms."""
+        b = ok.shape[0]
+        if b >= 128 and b % 128 == 0:
+            cdim = 128
+            bad2 = (~ok).reshape(b // cdim, cdim).astype(jnp.int32)
+            incl = jnp.cumsum(bad2, axis=1)  # lane-axis scan: fast
+            row = incl[:, -1]
+            row_off = jnp.cumsum(row) - row
+            c = (row_off[:, None] + incl).reshape(-1)  # inclusive prefix
+            return jnp.searchsorted(
+                c, jnp.arange(1, t + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+        idx = jnp.argsort(ok.astype(jnp.int32), stable=True)
+        return idx[:t]
+
     def _phase2_for(t: int):
-        """Phase-2 executable at bucket size ``t``: on-device compaction
-        (stable argsort of the mask — unconverged frames first, original
-        order), deep decode of the bucketed tail, scatter-merge.  No host
-        index building, no host->device uploads (VERDICT r4 #6)."""
+        """Phase-2 executable at bucket size ``t``: on-device compaction,
+        deep decode of the bucketed tail, scatter-merge.  No host index
+        building, no host->device uploads (VERDICT r4 #6).  The tail-LLR
+        gather is a one-hot bf16 matmul on the MXU — EXACT for int8 LLRs
+        (one nonzero product per output; bf16 holds ±31 exactly) and
+        measured 3.3x faster than ``jnp.take``'s row gather (XLA int8
+        row gathers run at ~15 GB/s on this chip)."""
         if t not in _p2:
 
             @jax.jit
             def p2(llr, bits, ok):
                 b = llr.shape[0]
                 te = min(t, b)  # bucket may round past a small batch
-                idx = jnp.argsort(ok.astype(jnp.int32), stable=True)
-                gat = idx[:te]  # tail frames + converged fill (re-decoded,
-                # discarded): the fill decode is the price of a static shape
-                tail_bits, _ = dec2(jnp.take(llr, gat, axis=0))
+                gat = _gather_idx(ok, te)  # tail + fill (fill rows decode
+                # zeros / duplicates and are discarded by the scatter)
+                oh = (
+                    gat[:, None] == jnp.arange(b, dtype=jnp.int32)[None, :]
+                ).astype(jnp.bfloat16)
+                tail_llr = jnp.dot(
+                    oh, llr.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int8)
+                tail_bits, _ = dec2(tail_llr)
                 cnt = jnp.sum(~ok)
                 # scatter only the true tail; fill rows target the
                 # out-of-range index b -> dropped by XLA scatter mode="drop"
@@ -230,6 +259,85 @@ def make_twophase_decoder(
         )
         return outs, agg
 
+    # ---- fused single-dispatch variant -------------------------------
+    # Phase 1 + compaction + phase 2 + merge as ONE jitted executable
+    # with a FIXED tail bucket ``t``: zero extra dispatches per batch
+    # (each separate XLA launch on a relayed backend carries ~0.2-1 ms
+    # of scheduling that the small codes cannot amortize).  The fixed
+    # bucket can overflow (cnt > t) — the per-window count fetch catches
+    # that and the rare overflowing batch is re-decoded at the full
+    # budget (exact, just slower for that batch).
+
+    _fused: dict[int, object] = {}
+
+    def _fused_for(t: int, b: int):
+        te = min(t, b)
+        if te not in _fused:
+
+            @jax.jit
+            def fstep(llr):
+                bits, _, ok = dec1(llr)
+                gat = _gather_idx(ok, te)
+                oh = (
+                    gat[:, None]
+                    == jnp.arange(b, dtype=jnp.int32)[None, :]
+                ).astype(jnp.bfloat16)
+                tail_llr = jnp.dot(
+                    oh, llr.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int8)
+                tail_bits, _ = dec2(tail_llr)
+                cnt = jnp.sum(~ok)
+                scat = jnp.where(jnp.arange(te) < cnt, gat, b)
+                out = bits.at[scat].set(tail_bits, mode="drop")
+                return out, cnt
+
+            _fused[te] = fstep
+        return _fused[te]
+
+    def decode_pipelined_fused(llrs, tail: int = None):
+        """Like ``decode_pipelined`` but one executable per batch (fixed
+        tail bucket, default ``tail_pad``).  Batches whose unconverged
+        count overflows the bucket are re-decoded at the full budget
+        after the window's count fetch.  Returns (outs, agg stats)."""
+        t = tail if tail is not None else tail_pad
+        staged = []
+        for x in llrs:
+            xd = jnp.asarray(x, jnp.int8)
+            staged.append(_fused_for(t, xd.shape[0])(xd))
+        cnts = np.asarray(jnp.stack([c for _, c in staged]))
+        outs = []
+        agg = {"phase2_frames": 0, "phase2_batch": 0, "frames": 0,
+               "overflows": 0}
+        extra_full = 0
+        for x, (out, _), n_bad in zip(llrs, staged, cnts):
+            b = int(np.shape(x)[0])
+            te = min(t, b)
+            n_bad = int(n_bad)
+            agg["phase2_frames"] += n_bad
+            agg["phase2_batch"] += te
+            agg["frames"] += b
+            if n_bad > te:  # bucket overflow: exact repair, full budget
+                agg["overflows"] += 1
+                extra_full += b
+                outs.append(dec2(jnp.asarray(x, jnp.int8))[0])
+            else:
+                outs.append(out)
+        agg["eff_iters_per_frame"] = (
+            k1
+            + spec.iters
+            * (agg["phase2_batch"] + extra_full)
+            / max(agg["frames"], 1)
+        )
+        return outs, agg
+
+    def warm_fused(llr, tail: int = None) -> None:
+        llr = jnp.asarray(llr, jnp.int8)
+        t = tail if tail is not None else tail_pad
+        jax.block_until_ready(_fused_for(t, llr.shape[0])(llr)[0])
+
     decode.warm_buckets = warm_buckets
     decode.pipelined = decode_pipelined
+    decode.pipelined_fused = decode_pipelined_fused
+    decode.warm_fused = warm_fused
     return decode

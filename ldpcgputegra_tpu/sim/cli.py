@@ -18,6 +18,17 @@ import argparse
 from .sweep import SweepConfig, run_sweep
 
 
+class _AwgnAlias(argparse.Action):
+    """Accept the reference's -awgn_jego / -awgn channel selectors as
+    no-ops: AWGN is already the default channel, and both reference
+    flags select the same N(0, sigma) model (they differ only in which
+    host RNG fills the noise buffer — `main.cpp:251-255`)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, "fading", "none")
+        setattr(namespace, "no_channel", False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="ldpc-sim",
@@ -81,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="flat Rayleigh fading (-Rayleigh_Fading equivalent)")
     s.add_argument("--no-channel", dest="no_channel", action="store_true",
                    help="noiseless channel (perfect LLRs; -no-channel)")
+    s.add_argument("--awgn-jego", "--awgn", dest="awgn", nargs=0,
+                   action=_AwgnAlias,
+                   help="AWGN channel (reference -awgn_jego / -awgn: two "
+                   "RNG backends for the SAME N(0,sigma) channel, "
+                   "`ldpc_decoder_arm/main.cpp:251-255`; here both map to "
+                   "the counter-based threefry/philox generator — "
+                   "distribution-pinned, see tests/test_channel_quant.py)")
     s.add_argument("--inject-flip", dest="inject_flip_p", type=float,
                    default=0.0,
                    help="LLR sign-flip fault-injection probability")

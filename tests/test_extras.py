@@ -118,3 +118,33 @@ def test_twophase_pipelined_matches_serial():
     for a, b in zip(serial, piped):
         np.testing.assert_array_equal(a, np.asarray(b))
     assert agg["frames"] == 3 * 256
+
+
+def test_twophase_pipelined_fused_matches_serial():
+    """The fused single-dispatch variant returns the same bits as the
+    serial two-phase decoder, including when the fixed tail bucket
+    overflows (exact repair via full-budget re-decode)."""
+    from ldpcgputegra_tpu.decoder.twophase import make_twophase_decoder
+
+    code = load_code("576x288")
+    spec = LayeredSpec(algo="OMS", iters=8)
+    tp = make_twophase_decoder(code, spec, k1=4)
+    rng = np.random.default_rng(11)
+    llrs = [
+        np.clip(8.0 * rng.normal(-1.0, 0.8, size=(256, code.N)), -31, 31)
+        .astype(np.int8)
+        for _ in range(3)
+    ]
+    serial = [np.asarray(tp(x)[0]) for x in llrs]
+    # tail=128 with sigma-0.8 noise: most 256-frame batches carry >128
+    # unconverged frames at k1=4 -> exercises the overflow repair path
+    piped, agg = tp.pipelined_fused(llrs, tail=128)
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert agg["frames"] == 3 * 256
+    assert agg["overflows"] > 0, "test must exercise the overflow repair"
+    # big tail (no overflow) must agree too
+    piped2, agg2 = tp.pipelined_fused(llrs, tail=256)
+    assert agg2["overflows"] == 0
+    for a, b in zip(serial, piped2):
+        np.testing.assert_array_equal(a, np.asarray(b))

@@ -144,3 +144,22 @@ def test_gather_chunked_stream_lowers():
         sublanes=8, chunked=True, io_mode="stream",
     )
     _export(dec, 2048, code.N)
+
+
+@pytest.mark.slow
+def test_gather_chunked_audit_normalization():
+    """The trip-weighted element-normalized gather audit must land in
+    the same band as the structural model (the compiler elides ~10-15%):
+    a broken normalization shows up as a 4x+ discrepancy (seen when the
+    vector<4x8x128> chunk ops were counted flat)."""
+    from ldpcgputegra_tpu.bench.audit import audited_ops_per_edge_gather
+    from ldpcgputegra_tpu.bench.roofline import ops_per_edge
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.ops.layered import LayeredSpec
+
+    code = load_code("4000x2000")
+    spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
+    a = audited_ops_per_edge_gather(code, spec, chunked=True)
+    assert a is not None
+    m = ops_per_edge(code, spec)
+    assert 0.6 * m <= a <= 1.4 * m, (a, m)

@@ -52,6 +52,17 @@ COMPILE = ["4000x2000", "8000x4000", "9972x4986", "20000x10000"]
 # QC roll kernel vs the XLA reference path ON HARDWARE (interpret-mode
 # bit-exactness is already CPU-tested; this pins the Mosaic compilation)
 QC = [("576x288", 4096), ("1944x972", 2048), ("2304x1152", 2048)]
+# Registry tail (VERDICT r4 #4): every imported code gets >=1 silicon
+# bit-exact pair — auto-resolved best backend vs the XLA reference path.
+TAIL = [
+    ("155x93", 4096), ("200x100", 4096), ("816x408", 2048),
+    ("1024x518", 2048), ("1200x600", 2048), ("1248x624", 2048),
+    ("2640x1320", 1024), ("802_11e_576x288", 4096),
+    ("802_11e_1920x960", 2048), ("802_11e_2304x1152", 2048),
+    ("802_11n-1944x972", 2048), ("16200x10800", 512),
+    ("64800x32400-dvbs2", 256), ("64800x6480-dvbs2", 256),
+    ("64800x7200-dvbs2", 256),
+]
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "HWVALIDATE.md")
 
@@ -171,7 +182,7 @@ def price_compiles(quick: bool) -> list[dict]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--which", default="compile,qc,streamed,gather")
+    ap.add_argument("--which", default="compile,qc,streamed,gather,tail")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     from ldpcgputegra_tpu.utils import (
@@ -212,6 +223,17 @@ def main() -> None:
             all_rows += safe(name, batch, "pallas", "pallas-streamed")
         for name, batch in STREAMED_ONLY:
             all_rows += safe(name, batch, "pallas-streamed", "xla")
+    if "tail" in which:
+        from ldpcgputegra_tpu.decoder import backend_for
+        from ldpcgputegra_tpu.ops.layered import LayeredSpec as _LS
+
+        for name, batch in TAIL:
+            auto = backend_for(load_code(name), _LS(algo="OMS", iters=10))
+            if auto == "xla":
+                print(f"(WW) {name}: auto backend is xla on this device — "
+                      "no fused pair to validate", flush=True)
+                continue
+            all_rows += safe(name, batch, auto, "xla")
     if "gather" in which:
         for name, batch in GATHER:
             if load_code(name).M <= 16000:  # measured unrolled ceiling

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """End-to-end "air throughput" + pipeline-overlap benchmark (VERDICT r3
-next-step 5).
+next-step 5; depth cadence + stage breakdown reworked per VERDICT r4 #3).
 
 The reference's headline metric is the FULL simulation loop — noise
 generation + interleave + decode + error count — not decode alone
@@ -11,13 +11,20 @@ the live chip:
 
 * the whole batch — channel generation, decode, error count — is ONE
   jitted executable (the sweep's ``sim_step`` fusion, sim/sweep.py:236);
-* ``pipeline_depth`` batches are kept in flight exactly like
-  ``run_sweep``'s dispatch window (the TPU analogue of the reference's
-  multi-stream overlap + omp-sections count/generate overlap);
-* wall-clock over many batches with per-batch distinct PRNG keys — no
-  computation ever repeats, so relay dedup cannot shrink the time, and
-  the host-fetch round trips ARE the thing being amortized, so plain
-  wall timing is the honest accounting here (unlike kernel timing).
+* ``pipeline_depth`` batches are kept in flight like ``run_sweep``'s
+  dispatch window, and the tiny per-batch counters are fetched ONE
+  STACKED TRANSFER PER WINDOW DRAIN, with the host->device copy started
+  asynchronously so the ~25 ms relay round trip overlaps the next
+  window's dispatch/compute.  (The round-4 cadence fetched
+  half-a-window per loop — at depth 2 that is one blocking RTT per
+  batch, which is why depth 2 LOST to depth 1: VERDICT r4 weak #5.)
+* wall-clock over many batches (>=128: walls must dwarf RTT noise) with
+  per-batch distinct PRNG keys — no computation ever repeats, so relay
+  dedup cannot shrink the time;
+* a per-stage device-time breakdown (channel / decode / count / fused
+  step, slope-harness measured) is published next to the air numbers so
+  the dispatch overhead is visible, comparable to the reference's
+  table (``tex:298``).
 
 Writes benchmarks/AIR.md.  Run: python tools/run_air_bench.py [--quick]
 """
@@ -29,7 +36,6 @@ import json
 import os
 import sys
 import time
-from collections import deque
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -37,6 +43,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from ldpcgputegra_tpu.bench.harness import measure_call  # noqa: E402
 from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec  # noqa: E402
 from ldpcgputegra_tpu.codes.registry import load_code  # noqa: E402
 from ldpcgputegra_tpu.decoder import backend_for, make_decoder  # noqa: E402
@@ -51,45 +58,72 @@ CONFIGS = [
     ("4000x2000", 4096),
     ("64800x32400", 512),
 ]
-DEPTHS = [1, 2, 4]
+DEPTHS = [1, 2, 4, 8, 16]
 SNR_DB = 2.5
 
 
-def build_step(code, spec, batch):
-    """One fused executable: AWGN channel -> decode -> count (the sweep's
-    sim_step_fake, sim/sweep.py:244-249)."""
+def build_parts(code, spec, batch):
+    """The fused sim step plus its three stages as separate jitted fns
+    (breakdown only — production uses the fused executable)."""
     chan = AwgnChannel(code.N, code.K, ChannelSpec())
     chan.configure(SNR_DB)
     decoder = make_decoder(code, spec)
+    from ldpcgputegra_tpu.channel.awgn import _generate_zero_int8
+
+    @jax.jit
+    def chan_fn(key):
+        return _generate_zero_int8(
+            key, (batch, code.N), chan.sigma, chan.factor, chan.spec
+        )
+
+    @jax.jit
+    def dec_fn(llr):
+        return decoder(llr)[0]
+
+    @jax.jit
+    def cnt_fn(bits):
+        return count_errors_async(bits)
 
     @jax.jit
     def step(key, sigma_t, factor_t):
-        from ldpcgputegra_tpu.channel.awgn import _generate_zero_int8
-
         llr = _generate_zero_int8(
             key, (batch, code.N), sigma_t, factor_t, chan.spec
         )
         decoded, _ = decoder(llr)
         return count_errors_async(decoded)
 
-    return step, chan
+    return step, chan, chan_fn, dec_fn, cnt_fn
 
 
 def run_loop(step, chan, depth: int, n_batches: int, seed0: int) -> float:
-    """Wall seconds for n_batches through the pipelined dispatch window."""
+    """Wall seconds for n_batches at a given in-flight window depth.
+
+    Fetch cadence: ONE stacked counter transfer per window drain, with
+    the device->host copy started async so the round trip overlaps the
+    NEXT window's dispatch and compute."""
     base = jax.random.key(7)
-    inflight: deque = deque()
+    inflight: list = []
+    pending = None
     next_k = 0
     t0 = time.perf_counter()
-    while next_k < n_batches or inflight:
+    while next_k < n_batches or inflight or pending is not None:
         while next_k < n_batches and len(inflight) < depth:
             key = jax.random.fold_in(base, seed0 + next_k)
             inflight.append(step(key, chan.sigma, chan.factor))
             next_k += 1
-        done = next_k >= n_batches
-        n_fetch = len(inflight) if done else max(1, len(inflight) // 2)
-        group = [inflight.popleft() for _ in range(n_fetch)]
-        np.asarray(jnp.stack([jnp.stack([be, fe]) for be, fe in group]))
+        stacked = None
+        if inflight:
+            stacked = jnp.stack(
+                [jnp.stack([be, fe]) for be, fe in inflight]
+            )
+            inflight = []
+            try:
+                stacked.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - overlap is best-effort
+                pass
+        if pending is not None:
+            np.asarray(pending)  # one RTT per window, overlapped above
+        pending = stacked
     return time.perf_counter() - t0
 
 
@@ -97,13 +131,35 @@ def bench_one(name: str, batch: int, quick: bool) -> list[dict]:
     code = load_code(name)
     spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
     backend = backend_for(code, spec)
-    step, chan = build_step(code, spec, batch)
-    n_batches = 8 if quick else 32
-    # warm: compile + a couple of executions outside the timed loop
-    run_loop(step, chan, 2, 2, seed0=10**6)
+    step, chan, chan_fn, dec_fn, cnt_fn = build_parts(code, spec, batch)
+    n_batches = 16 if quick else 128
+
+    # stage breakdown (device ms, slope harness — dedup-proof)
+    keys = [jax.random.fold_in(jax.random.key(3), i) for i in range(8)]
+    llrs = [chan_fn(k) for k in keys]
+    bitss = [dec_fn(x) for x in llrs]
+    jax.block_until_ready(bitss)
+    t_chan = measure_call(chan_fn, keys)
+    t_dec = measure_call(dec_fn, llrs)
+    t_cnt = measure_call(cnt_fn, bitss)
+    t_step = measure_call(
+        lambda k: step(k, chan.sigma, chan.factor), keys
+    )
+    stages = {
+        "chan_ms": round(t_chan * 1e3, 3),
+        "decode_ms": round(t_dec * 1e3, 3),
+        "count_ms": round(t_cnt * 1e3, 3),
+        "fused_step_ms": round(t_step * 1e3, 3),
+    }
+    decode_mbps = batch * code.N / t_dec / 1e6
+    print(f"(II) {name} stages: {json.dumps(stages)} "
+          f"(decode-only {decode_mbps:.0f} Mbps)", flush=True)
+
     rows = []
     base_mbps = None
     for depth in DEPTHS:
+        # warm this depth's stack executable outside the timed region
+        run_loop(step, chan, depth, 2 * depth, seed0=10**6 + depth)
         sec = run_loop(step, chan, depth, n_batches, seed0=depth * 10**5)
         mbps = n_batches * batch * code.N / sec / 1e6
         row = {
@@ -111,6 +167,8 @@ def bench_one(name: str, batch: int, quick: bool) -> list[dict]:
             "batch": batch, "depth": depth, "n_batches": n_batches,
             "wall_s": round(sec, 3),
             "air_mbps": round(mbps, 1),
+            "air_vs_decode_only": round(mbps / decode_mbps, 2),
+            **stages,
         }
         if depth == 1:
             base_mbps = mbps
@@ -148,21 +206,39 @@ def main() -> None:
             f"Measured {stamp}.  FULL loop per batch — on-device AWGN "
             "channel + decode + error count, one fused executable — "
             "dispatched through a `pipeline_depth`-deep in-flight window "
-            "(the sweep's dispatch loop, `sim/sweep.py:352`), wall-clock "
-            "over the whole run.  This is the reference's accounting "
-            "(`main.cpp:305-318`): its best 3-stream GPU figures are "
-            "air throughput, and its multi-stream overlap bought +30% "
-            "(`paper/ldpcGpuTegra.tex:298`).  Distinct PRNG keys per "
-            "batch make every executable+operand pair unique (relay-"
-            "dedup-proof).\n\n"
+            "(the sweep's dispatch loop, `sim/sweep.py:352`); counters "
+            "are fetched one stacked transfer per window drain with the "
+            "host copy started async, so the ~25 ms relay RTT overlaps "
+            "the next window's compute.  This is the reference's "
+            "accounting (`main.cpp:305-318`): its best 3-stream GPU "
+            "figures are air throughput, and its multi-stream overlap "
+            "bought +30% (`paper/ldpcGpuTegra.tex:298`).  Distinct PRNG "
+            "keys per batch make every executable+operand pair unique "
+            "(relay-dedup-proof).\n\n"
         )
+        f.write("## Stage breakdown (device ms per batch, slope harness)"
+                "\n\n| code | batch | channel | decode | count | fused "
+                "step |\n|---|---|---|---|---|---|\n")
+        seen = set()
+        for r in all_rows:
+            if r["code"] in seen:
+                continue
+            seen.add(r["code"])
+            f.write(
+                f"| {r['code']} | {r['batch']} | {r['chan_ms']} "
+                f"| {r['decode_ms']} | {r['count_ms']} "
+                f"| {r['fused_step_ms']} |\n"
+            )
+        f.write("\n## Air throughput vs pipeline depth\n\n")
         f.write("| code | backend | batch | depth | air Mbps | gain vs "
-                "depth 1 |\n|---|---|---|---|---|---|\n")
+                "depth 1 | vs decode-only |\n|---|---|---|---|---|---|"
+                "---|\n")
         for r in all_rows:
             f.write(
                 f"| {r['code']} | {r['backend']} | {r['batch']} "
                 f"| {r['depth']} | {r['air_mbps']} "
-                f"| {r.get('gain_vs_depth1', '—')} |\n"
+                f"| {r.get('gain_vs_depth1', '—')} "
+                f"| {r['air_vs_decode_only']} |\n"
             )
         f.write("\nRaw records:\n\n```json\n")
         for r in all_rows:
