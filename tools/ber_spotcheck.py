@@ -1,17 +1,25 @@
 #!/usr/bin/env python3
-"""On-chip BER spot check (VERDICT r3 next-step 7).
+"""On-chip BER spot check (VERDICT r3 next-step 7; three-stage since r5).
 
 The BER book (benchmarks/BER.md) is CPU-measured, justified by a
-backend-independence argument: decoders are bit-exact across backends
-(silicon-validated) and the channel is counter-based threefry, which is
-platform-deterministic.  This tool closes the loop with direct on-chip
-evidence: it runs the SAME ``run_sweep`` pipeline — same SweepConfig,
-same seed, same per-batch key folding — once on the live TPU and once in
-a CPU subprocess, and asserts the (frames, bit-error, frame-error)
-counters are IDENTICAL.  It also checks the measured FER against the
-stored curve point within 4-sigma binomial error (the stored point used
-a different fold index pi and more frames, so only statistical agreement
-is expected there).
+backend-independence argument.  The first on-chip run of this tool
+(round 5) sharpened that argument with a real measurement: end-to-end
+counters differed by ONE frame in 24576 — the decoders are bit-exact,
+but the CHANNEL's float transcendentals (the normal generator's
+log/sqrt) use different polynomial approximations on TPU vs CPU, so a
+~1e-5 fraction of noise samples lands on the other side of an int8
+quantization boundary.  The tool therefore checks three claims
+separately:
+
+1. ``decoder``: identical LLR inputs (generated once, shipped to both
+   backends) must produce IDENTICAL counters — the bit-exactness claim;
+   any mismatch here aborts.
+2. ``channel``: same keys on both backends — reports the differing
+   int8 sample count (expected: tiny but possibly nonzero; recorded,
+   not asserted).
+3. ``end-to-end``: full ``run_sweep`` on both backends — counters equal
+   OR the difference bounded by the channel divergence, plus 4-sigma
+   statistical agreement with the stored curve point.
 
 Run on the live chip: python tools/ber_spotcheck.py
 Appends a record block to benchmarks/BER.md.
@@ -24,6 +32,7 @@ import math
 import os
 import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -36,7 +45,7 @@ SPOTS = [
     ("64800x32400", "OMS", 10, 1.625, 512, 4),
 ]
 
-_SNIPPET = r"""
+_SWEEP_SNIPPET = r"""
 import json, sys
 import numpy as np
 from ldpcgputegra_tpu.utils import apply_platform_env, enable_compile_cache
@@ -59,22 +68,73 @@ print("SPOT " + json.dumps({
 }))
 """
 
+# channel-only: the sweep's exact key folding (seed 1234, point 0)
+_CHAN_SNIPPET = r"""
+import sys
+import numpy as np
+from ldpcgputegra_tpu.utils import apply_platform_env, enable_compile_cache
+apply_platform_env()
+enable_compile_cache()
+import jax
+from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec
+from ldpcgputegra_tpu.codes.registry import load_code
+code_name, snr, batch, nb, out = sys.argv[1:6]
+code = load_code(code_name)
+chan = AwgnChannel(code.N, code.K, ChannelSpec())
+chan.configure(float(snr))
+base = jax.random.fold_in(jax.random.key(1234), 0)
+arrs = {}
+for k in range(int(nb)):
+    key = jax.random.fold_in(base, k)
+    arrs[f"b{k}"] = np.asarray(chan.generate_zero_int8(key, int(batch)))
+np.savez(out, **arrs)
+print("CHAN-OK")
+"""
 
-def run_side(spot, env_extra) -> dict:
-    code, algo, iters, snr, batch, nb = spot
+# decode-only: identical npz inputs -> counters
+_DEC_SNIPPET = r"""
+import json, sys
+import numpy as np
+from ldpcgputegra_tpu.utils import apply_platform_env, enable_compile_cache
+apply_platform_env()
+enable_compile_cache()
+import jax
+from ldpcgputegra_tpu.codes.registry import load_code
+from ldpcgputegra_tpu.decoder import make_decoder
+from ldpcgputegra_tpu.ops.layered import LayeredSpec
+code_name, algo, iters, inp = sys.argv[1:5]
+code = load_code(code_name)
+spec = LayeredSpec(algo=algo, iters=int(iters), early_term=True)
+dec = make_decoder(code, spec)
+be = fe = frames = 0
+z = np.load(inp)
+for k in sorted(z.files):
+    bits = np.asarray(dec(z[k])[0])
+    be += int(bits.sum())
+    fe += int((bits.any(axis=1)).sum())
+    frames += bits.shape[0]
+print("DEC " + json.dumps({
+    "backend": jax.default_backend(), "frames": frames,
+    "be": be, "fe": fe,
+}))
+"""
+
+
+def _run(snippet, args, env_extra, tag) -> dict | None:
     env = dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site",
                **env_extra)
     p = subprocess.run(
-        [sys.executable, "-u", "-c", _SNIPPET, code, algo, str(iters),
-         str(snr), str(batch), str(nb)],
+        [sys.executable, "-u", "-c", snippet] + [str(a) for a in args],
         capture_output=True, text=True, env=env,
         cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=7200,
     )
     for line in p.stdout.splitlines():
-        if line.startswith("SPOT "):
-            return json.loads(line[5:])
+        if line.startswith(tag + " "):
+            return json.loads(line[len(tag) + 1:])
+        if line == tag + "-OK":
+            return {}
     raise RuntimeError(
-        f"{code}: no SPOT line (rc={p.returncode}): {p.stderr[-400:]}"
+        f"no {tag} line (rc={p.returncode}): {p.stderr[-400:]}"
     )
 
 
@@ -90,25 +150,57 @@ def stored_point(code, algo, iters, snr):
 
 
 def main() -> None:
+    import numpy as np
+
     from ldpcgputegra_tpu.utils import device_available
 
     if not device_available():
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     recs = []
+    fatal = None
     for spot in SPOTS:
         code, algo, iters, snr, batch, nb = spot
-        tpu = run_side(spot, {})
-        cpu = run_side(spot, {"JAX_PLATFORMS": "cpu"})
-        same = (tpu["frames"], tpu["be"], tpu["fe"]) == (
+        with tempfile.TemporaryDirectory() as td:
+            tpu_npz = os.path.join(td, "tpu.npz")
+            cpu_npz = os.path.join(td, "cpu.npz")
+            # stage 2: channel divergence (same keys, both backends)
+            _run(_CHAN_SNIPPET, [code, snr, batch, nb, tpu_npz], {},
+                 "CHAN")
+            _run(_CHAN_SNIPPET, [code, snr, batch, nb, cpu_npz],
+                 {"JAX_PLATFORMS": "cpu"}, "CHAN")
+            zt, zc = np.load(tpu_npz), np.load(cpu_npz)
+            chan_diff = sum(
+                int((zt[k] != zc[k]).sum()) for k in zt.files
+            )
+            n_samples = sum(zt[k].size for k in zt.files)
+            # stage 1: decoder bit-exactness on IDENTICAL inputs (the
+            # TPU-generated llrs decoded by both backends)
+            dt = _run(_DEC_SNIPPET, [code, algo, iters, tpu_npz], {},
+                      "DEC")
+            dc = _run(_DEC_SNIPPET, [code, algo, iters, tpu_npz],
+                      {"JAX_PLATFORMS": "cpu"}, "DEC")
+        dec_same = (dt["frames"], dt["be"], dt["fe"]) == (
+            dc["frames"], dc["be"], dc["fe"])
+        # stage 3: end-to-end sweep counters
+        tpu = _run(_SWEEP_SNIPPET, [code, algo, iters, snr, batch, nb],
+                   {}, "SPOT")
+        cpu = _run(_SWEEP_SNIPPET, [code, algo, iters, snr, batch, nb],
+                   {"JAX_PLATFORMS": "cpu"}, "SPOT")
+        e2e_same = (tpu["frames"], tpu["be"], tpu["fe"]) == (
             cpu["frames"], cpu["be"], cpu["fe"])
         rec = {
             "code": code, "algo": algo, "iters": iters, "snr_db": snr,
             "frames": tpu["frames"],
+            "decoder_counters_identical_on_same_llrs": dec_same,
+            "channel_diff_samples": chan_diff,
+            "channel_samples": n_samples,
             "tpu": {"be": tpu["be"], "fe": tpu["fe"],
                     "backend": tpu["backend"]},
             "cpu": {"be": cpu["be"], "fe": cpu["fe"]},
-            "counters_identical": same,
+            "e2e_counters_identical": e2e_same,
+            "e2e_fe_diff_bounded_by_channel":
+                abs(tpu["fe"] - cpu["fe"]) <= chan_diff,
         }
         st = stored_point(code, algo, iters, snr)
         if st is not None and tpu["frames"]:
@@ -120,8 +212,9 @@ def main() -> None:
             rec["within_4sigma_of_stored"] = abs(fer - p0) <= 4 * sig + 1e-12
         recs.append(rec)
         print("(SPOT) " + json.dumps(rec), flush=True)
-        if not same:
-            raise SystemExit(f"(EE) {code}: TPU and CPU counters differ")
+        if not dec_same:
+            fatal = f"(EE) {code}: DECODERS not bit-exact on same LLRs"
+            break
 
     out = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
                        "BER.md")
@@ -130,19 +223,26 @@ def main() -> None:
     with open(out, "a") as f:
         f.write(f"\n## On-chip spot checks ({time.strftime('%Y-%m-%d')})\n\n")
         f.write(
-            "`run_sweep` with identical SweepConfig (seed 1234, same "
-            "per-batch key folding) executed on the live TPU and on CPU; "
-            "counters asserted IDENTICAL — direct silicon evidence for "
-            "the backend-independence argument behind this CPU-measured "
-            "BER book.  (`within_4sigma_of_stored` compares the "
-            "spot-check FER to the stored curve point statistically; the "
-            "stored point used a different PRNG fold index and more "
-            "frames, so only statistical agreement applies.)\n\n```json\n"
+            "Three-stage backend-independence check on the live TPU "
+            "(`tools/ber_spotcheck.py`).  (1) DECODERS on identical LLR "
+            "inputs: counters asserted IDENTICAL — the claim the BER "
+            "book rests on.  (2) CHANNEL with identical keys: the "
+            "differing int8 sample count is recorded — the float "
+            "transcendentals in the normal generator use different "
+            "polynomial approximations per platform, so a ~1e-5 "
+            "fraction of samples crosses an int8 quantization boundary "
+            "(this does NOT bias the statistics: both streams are "
+            "exact N(0, sigma) samplers to float32 accuracy).  "
+            "(3) END-TO-END sweep counters: equal or bounded by the "
+            "channel divergence, plus 4-sigma agreement with the "
+            "stored curve point.\n\n```json\n"
         )
         for r in recs:
             f.write(json.dumps(r) + "\n")
         f.write("```\n")
-    print(f"(II) appended spot checks to {out}")
+    print(f"(II) appended to {out}")
+    if fatal:
+        raise SystemExit(fatal)
 
 
 if __name__ == "__main__":

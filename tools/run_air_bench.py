@@ -71,7 +71,10 @@ def build_parts(code, spec, batch):
     from ldpcgputegra_tpu.channel.awgn import _generate_zero_int8
 
     @jax.jit
-    def chan_fn(key):
+    def chan_fn(i):
+        # int32 seed input (not a typed PRNG key): measure_call's probe
+        # cannot reduce key<fry> arrays
+        key = jax.random.fold_in(jax.random.key(3), i)
         return _generate_zero_int8(
             key, (batch, code.N), chan.sigma, chan.factor, chan.spec
         )
@@ -92,7 +95,12 @@ def build_parts(code, spec, batch):
         decoded, _ = decoder(llr)
         return count_errors_async(decoded)
 
-    return step, chan, chan_fn, dec_fn, cnt_fn
+    @jax.jit
+    def step_i(i):  # int32-seeded variant for the slope harness
+        key = jax.random.fold_in(jax.random.key(3), i)
+        return step(key, chan.sigma, chan.factor)
+
+    return step, chan, chan_fn, dec_fn, cnt_fn, step_i
 
 
 def run_loop(step, chan, depth: int, n_batches: int, seed0: int) -> float:
@@ -131,20 +139,20 @@ def bench_one(name: str, batch: int, quick: bool) -> list[dict]:
     code = load_code(name)
     spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
     backend = backend_for(code, spec)
-    step, chan, chan_fn, dec_fn, cnt_fn = build_parts(code, spec, batch)
+    step, chan, chan_fn, dec_fn, cnt_fn, step_i = build_parts(
+        code, spec, batch
+    )
     n_batches = 16 if quick else 128
 
     # stage breakdown (device ms, slope harness — dedup-proof)
-    keys = [jax.random.fold_in(jax.random.key(3), i) for i in range(8)]
-    llrs = [chan_fn(k) for k in keys]
+    idxs = [jnp.asarray(i, jnp.int32) for i in range(8)]
+    llrs = [chan_fn(i) for i in idxs]
     bitss = [dec_fn(x) for x in llrs]
     jax.block_until_ready(bitss)
-    t_chan = measure_call(chan_fn, keys)
+    t_chan = measure_call(chan_fn, idxs)
     t_dec = measure_call(dec_fn, llrs)
     t_cnt = measure_call(cnt_fn, bitss)
-    t_step = measure_call(
-        lambda k: step(k, chan.sigma, chan.factor), keys
-    )
+    t_step = measure_call(step_i, idxs)
     stages = {
         "chan_ms": round(t_chan * 1e3, 3),
         "decode_ms": round(t_dec * 1e3, 3),
