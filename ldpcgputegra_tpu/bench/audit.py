@@ -67,13 +67,23 @@ def dump_qc_mosaic(code: LdpcCode, spec: LayeredSpec) -> str:
     return buf.getvalue()
 
 
-def count_loop_ops(mlir: str) -> dict:
-    """Vector-result op counts inside the first (iteration) scf.for."""
+def count_loop_ops(mlir: str, iters: int | None = None) -> dict:
+    """Vector-result op counts inside the first (iteration) scf.for.
+
+    With ``iters``, the loop is located by its upper bound instead (the
+    streamed kernel peels iteration 0, so its decode loop is
+    ``scf.for 1..iters``, not the first loop in the module)."""
     lines = mlir.splitlines()
     try:
-        start = next(i for i, l in enumerate(lines) if "scf.for" in l)
+        if iters is None:
+            start = next(i for i, l in enumerate(lines) if "scf.for" in l)
+        else:
+            start = next(
+                i for i, l in enumerate(lines)
+                if (m := _TRIP_RE.search(l)) and int(m.group(2)) == iters
+            )
     except StopIteration:
-        raise RuntimeError("no scf.for found in Mosaic dump")
+        raise RuntimeError("no iteration scf.for found in Mosaic dump")
     depth = 0
     body = []
     for l in lines[start:]:
@@ -219,6 +229,56 @@ def audited_ops_per_edge_gather(code: LdpcCode, spec: LayeredSpec,
     except Exception:  # noqa: BLE001 — audit failure falls back to model
         return None
     val = (c["alu"] + c["rotate"]) / (code.M * sub * 128)
+    _cache[key] = val
+    return val
+
+
+def dump_streamed_mosaic(code: LdpcCode, spec: LayeredSpec) -> str:
+    """Build the HBM-streamed QC kernel with debug=True; return MLIR."""
+    from jax.experimental import pallas as pl
+
+    from ..kernels import pallas_streamed as PS
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["debug"] = True
+        return orig(*a, **k)
+
+    buf = io.StringIO()
+    try:
+        PS.pl.pallas_call = patched
+        dec = PS.make_streamed_decoder(code, spec)
+        with contextlib.redirect_stdout(buf):
+            jax.export.export(jax.jit(dec), platforms=["tpu"])(
+                np.zeros((256, code.N), np.int8)
+            )
+    finally:
+        PS.pl.pallas_call = orig
+    return buf.getvalue()
+
+
+def audited_ops_per_edge_streamed(code: LdpcCode,
+                                  spec: LayeredSpec) -> float | None:
+    """Audited VPU ops per edge per iteration for the streamed QC
+    kernel.  Its decode loop is ``scf.for 1..iters`` (iteration 0 is
+    peeled to fill the message stream), located by upper bound; the
+    steady-state body is one full iteration, so QC-style normalization
+    (flat count / block-edges) applies."""
+    from ..kernels.pallas_layered import pallas_supported
+
+    if not pallas_supported(code, spec):  # streamed = QC schedule too
+        return None
+    key = (id(code), spec.algo, spec.minclamp, spec.early_term,
+           "streamed")
+    if key in _cache:
+        return _cache[key]
+    try:
+        c = count_loop_ops(dump_streamed_mosaic(code, spec), spec.iters)
+    except Exception:  # noqa: BLE001 — audit failure falls back to model
+        return None
+    n_slabs = sum(l.deg for l in code.layers)
+    val = (c["alu"] + c["rotate"]) / n_slabs
     _cache[key] = val
     return val
 

@@ -99,6 +99,11 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
         ops_override = audited_ops_per_edge_gather(
             eff, spec, chunked=backend.endswith("chunked")
         )
+    elif backend == "pallas-streamed":
+        # steady-state iteration body of the peeled decode loop
+        from .audit import audited_ops_per_edge_streamed
+
+        ops_override = audited_ops_per_edge_streamed(eff, spec)
     roof = roofline_report(
         eff, spec, batch, sec, streamed=(backend == "pallas-streamed"),
         vpu_rate=rates.get("vpu"), hbm_rate=rates.get("hbm"),
