@@ -303,3 +303,26 @@ def test_gather_chunked_stream_matches_unrolled(early_term):
         io_mode="stream")(llrs)
     np.testing.assert_array_equal(np.asarray(bits_u), np.asarray(bits_s))
     assert int(it_u) == int(it_s)
+
+
+def test_pick_chunked_config_honors_caller_budget():
+    """A caller-supplied budget is a hard cap for EVERY io mode — the
+    round-4 code silently raised it to the io/stream defaults (ADVICE
+    r4)."""
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.kernels.pallas_gather import (
+        chunked_streamed_vmem_bytes,
+        chunked_vmem_bytes,
+        pick_chunked_config,
+    )
+    from ldpcgputegra_tpu.ops.layered import LayeredSpec
+
+    code = load_code("20000x10000")
+    spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
+    # default budget: the stream config fits (production answer)
+    assert pick_chunked_config(code, spec) == (8, "stream")
+    # a tight explicit budget must NOT be silently raised: nothing fits
+    tight = 1 << 20
+    assert chunked_vmem_bytes(code, spec, 2) > tight
+    assert chunked_streamed_vmem_bytes(code, spec, 2) > tight
+    assert pick_chunked_config(code, spec, budget=tight) == (0, "")
