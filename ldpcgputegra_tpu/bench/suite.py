@@ -56,11 +56,15 @@ CONFIGS = [
     ("802_11e_1920x960", 8192, {}, (10,)),
     ("802_11e_2304x1152", 8192, {}, (10,)),
     ("802_11n-1944x972", 8192, {}, (10,)),
-    ("16200x10800", 1024, {}, (10,)),
-    ("64800x32400-dvbs2", 512, {}, (10,)),
+    # batches match tools/hw_validate.py's TAIL entries so the suite
+    # reuses the validated executables from the compile cache — the
+    # rate-9/10 view's deg-30 layers took ~80 min on the remote compile
+    # service; a different batch would recompile from scratch
+    ("16200x10800", 512, {}, (10,)),
+    ("64800x32400-dvbs2", 256, {}, (10,)),
     # DVB-S2 rate extremes (9/10 and 8/9)
-    ("64800x6480-dvbs2", 512, {}, (10,)),
-    ("64800x7200-dvbs2", 512, {}, (10,)),
+    ("64800x6480-dvbs2", 256, {}, (10,)),
+    ("64800x7200-dvbs2", 256, {}, (10,)),
 ]
 
 
