@@ -190,10 +190,28 @@ def probe_rates() -> dict:
     return rates
 
 
+CKPT = "benchmarks/logs/suite_ckpt.json"
+
+
+def _ckpt_save(rows, lat_rows, rates) -> None:
+    os.makedirs(os.path.dirname(CKPT), exist_ok=True)
+    tmp = CKPT + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"rows": rows, "lat_rows": lat_rows, "rates": rates}, f)
+    os.replace(tmp, CKPT)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="benchmarks/RESULTS.md")
+    ap.add_argument(
+        "--fresh", action="store_true",
+        help="ignore (and overwrite) the row checkpoint; default resumes "
+        "a killed/timed-out run so multi-hour tail compiles are not "
+        "re-paid (the remote compile cache does not survive container "
+        "resets)",
+    )
     args = ap.parse_args()
     from ..utils import device_available
 
@@ -201,13 +219,28 @@ def main() -> None:
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     enable_compile_cache()
-    rates = probe_rates()
 
-    rows = []
+    rows, lat_rows, rates = [], [], None
+    if not args.fresh and os.path.exists(CKPT):
+        with open(CKPT) as f:
+            ck = json.load(f)
+        rows, lat_rows = ck["rows"], ck["lat_rows"]
+        rates = ck.get("rates")
+        print(
+            f"(II) resuming: {len(rows)} rows + {len(lat_rows)} latency "
+            f"rows from {CKPT}", flush=True,
+        )
+    if rates is None:
+        rates = probe_rates()
+        _ckpt_save(rows, lat_rows, rates)
+    done = {(r["code"], r["iters"], r["batch"]) for r in rows}
+
     for ent in CONFIGS:
         name, batch, baselines = ent[:3]
         iters_list = ent[3] if len(ent) > 3 else (10, 5)
         for iters in iters_list:
+            if (name, iters, batch) in done:
+                continue
             t0 = time.time()
             try:
                 r = bench_one(name, batch, iters, args.quick, rates)
@@ -219,6 +252,7 @@ def main() -> None:
             if base:
                 r["vs_baseline"] = round(r["coded_mbps"] / base, 1)
             rows.append(r)
+            _ckpt_save(rows, lat_rows, rates)
             print(
                 f"(PERF) {name} {iters}it [{r['backend']}]: "
                 f"{r['ms_per_call']} ms, {r['coded_mbps']} Mbps coded, "
@@ -227,14 +261,17 @@ def main() -> None:
                 flush=True,
             )
 
-    lat_rows = []
+    lat_done = {r["code"] for r in lat_rows}
     for name in LAT_CONFIGS:
+        if name in lat_done:
+            continue
         try:
             r = bench_latency(name, 10, args.quick)
         except Exception as e:  # noqa: BLE001
             print(f"(EE) latency {name} failed: {e}")
             continue
         lat_rows.append(r)
+        _ckpt_save(rows, lat_rows, rates)
         print(
             f"(PERF) latency {name} [{r['backend']}]: {r['ms_per_call']} ms "
             f"/128-frame tile, {r['us_per_frame']} us/frame",
