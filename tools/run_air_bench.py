@@ -135,6 +135,101 @@ def run_loop(step, chan, depth: int, n_batches: int, seed0: int) -> float:
     return time.perf_counter() - t0
 
 
+def build_scan_step(code, spec, batch, scan_steps: int):
+    """S sim steps folded into ONE executable via lax.scan.
+
+    The depth-pipelined loop above still pays one relay dispatch per
+    batch (~2.7 ms measured — compare depth-8's 5.3 ms/batch wall
+    against the 2.7 ms fused device step at 576x288); folding S steps
+    into one executable amortizes the dispatch S-fold, which is the
+    TPU answer to the reference's multi-stream dispatch economics
+    (`paper/ldpcGpuTegra.tex:298`).  The scan body is traced once, so
+    the executable is the same size as the single step.
+    """
+    chan = AwgnChannel(code.N, code.K, ChannelSpec())
+    chan.configure(SNR_DB)
+    decoder = make_decoder(code, spec)
+    from ldpcgputegra_tpu.channel.awgn import _generate_zero_int8
+
+    @jax.jit
+    def multi_step(i0, sigma_t, factor_t):
+        def body(carry, i):
+            key = jax.random.fold_in(jax.random.key(3), i)
+            llr = _generate_zero_int8(
+                key, (batch, code.N), sigma_t, factor_t, chan.spec
+            )
+            decoded, _ = decoder(llr)
+            be, fe = count_errors_async(decoded)
+            return carry, jnp.stack([be, fe])
+
+        _, cs = jax.lax.scan(
+            body, 0, i0 + jnp.arange(scan_steps, dtype=jnp.int32)
+        )
+        return cs  # [S, 2] counters
+
+    return multi_step, chan
+
+
+def run_loop_scan(multi_step, chan, depth: int, n_calls: int,
+                  scan_steps: int, seed0: int) -> float:
+    """Wall seconds for n_calls scan-folded steps at window depth."""
+    inflight: list = []
+    pending = None
+    next_k = 0
+    t0 = time.perf_counter()
+    while next_k < n_calls or inflight or pending is not None:
+        while next_k < n_calls and len(inflight) < depth:
+            i0 = jnp.asarray(seed0 + next_k * scan_steps, jnp.int32)
+            inflight.append(multi_step(i0, chan.sigma, chan.factor))
+            next_k += 1
+        stacked = None
+        if inflight:
+            stacked = jnp.stack(inflight)
+            inflight = []
+            try:
+                stacked.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - overlap is best-effort
+                pass
+        if pending is not None:
+            np.asarray(pending)
+        pending = stacked
+    return time.perf_counter() - t0
+
+
+def bench_scan(name: str, batch: int, quick: bool) -> list[dict]:
+    """Scan-folded air rows (S steps per executable x window depth)."""
+    code = load_code(name)
+    spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
+    backend = backend_for(code, spec)
+    _, chan0, chan_fn, dec_fn, _, _ = build_parts(code, spec, batch)
+    llrs = [chan_fn(jnp.asarray(i, jnp.int32)) for i in range(4)]
+    jax.block_until_ready([dec_fn(x) for x in llrs])
+    t_dec = measure_call(dec_fn, llrs)
+    decode_mbps = batch * code.N / t_dec / 1e6
+    n_batches = 16 if quick else 128
+    rows = []
+    for scan_steps in (8,):
+        multi_step, chan = build_scan_step(code, spec, batch, scan_steps)
+        n_calls = max(1, n_batches // scan_steps)
+        for depth in (1, 2, 4):
+            run_loop_scan(multi_step, chan, depth, 2 * depth, scan_steps,
+                          seed0=10**7 + depth)
+            sec = run_loop_scan(multi_step, chan, depth, n_calls,
+                                scan_steps, seed0=depth * 10**6)
+            mbps = n_calls * scan_steps * batch * code.N / sec / 1e6
+            row = {
+                "code": name, "backend": backend, "iters": spec.iters,
+                "batch": batch, "scan_steps": scan_steps, "depth": depth,
+                "n_batches": n_calls * scan_steps,
+                "wall_s": round(sec, 3),
+                "air_mbps": round(mbps, 1),
+                "air_vs_decode_only": round(mbps / decode_mbps, 2),
+            }
+            rows.append(row)
+            print("(PERF) " + json.dumps(row), flush=True)
+    return rows
+
+
 def bench_one(name: str, batch: int, quick: bool) -> list[dict]:
     code = load_code(name)
     spec = LayeredSpec(algo="OMS", iters=10, early_term=False)
@@ -191,6 +286,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default="benchmarks/AIR.md")
+    ap.add_argument(
+        "--scan-only", action="store_true",
+        help="run only the scan-folded variant and APPEND its section "
+        "to --out (the standard depth sweep's document is preserved)",
+    )
     args = ap.parse_args()
     from ldpcgputegra_tpu.utils import apply_platform_env, device_available
 
@@ -199,6 +299,38 @@ def main() -> None:
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     enable_compile_cache()
+
+    if args.scan_only:
+        scan_rows = []
+        for name, batch in CONFIGS:
+            try:
+                scan_rows += bench_scan(name, batch, args.quick)
+            except Exception as e:  # noqa: BLE001
+                print(f"(EE) scan {name} failed: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        with open(args.out, "a") as f:
+            f.write(
+                f"\n## Scan-folded dispatch ({time.strftime('%Y-%m-%d')})"
+                "\n\nS=8 sim steps folded into ONE executable via "
+                "`lax.scan` over fold_in indices — amortizes the ~2.7 ms "
+                "per-call relay dispatch 8-fold on top of the in-flight "
+                "window.  Same accounting as above; counters come back "
+                "[S,2] per call, one stacked fetch per window drain.\n\n"
+                "| code | batch | S | depth | air Mbps | vs decode-only "
+                "|\n|---|---|---|---|---|---|\n"
+            )
+            for r in scan_rows:
+                f.write(
+                    f"| {r['code']} | {r['batch']} | {r['scan_steps']} "
+                    f"| {r['depth']} | {r['air_mbps']} "
+                    f"| {r['air_vs_decode_only']} |\n"
+                )
+            f.write("\n```json\n")
+            for r in scan_rows:
+                f.write(json.dumps(r) + "\n")
+            f.write("```\n")
+        print(f"(II) appended scan section to {args.out}")
+        return
 
     all_rows = []
     for name, batch in CONFIGS:
