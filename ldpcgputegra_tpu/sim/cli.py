@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(-qef/-tfer equivalents)")
     t.add_argument("--pipeline", dest="pipeline_depth", type=int, default=2,
                    help="batches kept in flight (-thread streams analogue)")
+    t.add_argument("--scan-steps", dest="scan_steps", type=int, default=1,
+                   help="sim steps folded into one executable (lax.scan; "
+                        "fake-encoder jitted path) — amortizes per-call "
+                        "dispatch cost on relayed backends")
 
     e = p.add_argument_group("encoder / quantization")
     e.add_argument("--encoder", default="fake",

@@ -76,6 +76,14 @@ class SweepConfig:
     timer_s: Optional[float] = None  # per-point wall budget (-timer)
     qef_fer: Optional[float] = None  # sweep cutoff (-qef)
     pipeline_depth: int = 2  # batches kept in flight (multi-stream analogue)
+    # sim steps folded into ONE executable via lax.scan (fake-encoder
+    # jitted path only — the coded path stages host-encoded bits and the
+    # native path never dispatches).  Each remote dispatch costs ~2.7 ms
+    # on a relayed backend (benchmarks/AIR.md stage breakdown); folding
+    # S steps amortizes it S-fold.  Batch k's channel key stays
+    # fold_in(fold_in(seed, point), k), so counters are bit-identical
+    # for any scan_steps (tests/test_sweep_scan.py pins this).
+    scan_steps: int = 1
 
     backend: str = "auto"  # auto | pallas | xla | native
     # channel generator for backend='native': 'threefry' replays the jax
@@ -248,6 +256,27 @@ def run_sweep(
         decoded, _ = decoder(llr)
         return count_errors_async(decoded, info_only=info_only, k=code.K)
 
+    scan_n = max(1, cfg.scan_steps)
+
+    @jax.jit
+    def sim_step_fake_scan(pkey, k0, sigma_t, factor_t):
+        # scan_n batches in ONE executable; pkey = fold_in(seed, point)
+        # comes in as an argument so one executable serves every point
+        def body(carry, k):
+            key = jax.random.fold_in(pkey, k)
+            llr = _gen_zero(key, (cfg.batch, code.N), sigma_t, factor_t,
+                            chan_spec)
+            decoded, _ = decoder(llr)
+            be, fe = count_errors_async(
+                decoded, info_only=info_only, k=code.K
+            )
+            return carry, jnp.stack([be, fe])
+
+        _, cs = jax.lax.scan(
+            body, 0, k0 + jnp.arange(scan_n, dtype=jnp.int32)
+        )
+        return cs  # [scan_n, 2]
+
     @jax.jit
     def sim_step_coded(key, sigma_t, factor_t, coded):
         llr = _gen_int8(key, coded, sigma_t, factor_t, chan_spec)
@@ -292,11 +321,19 @@ def run_sweep(
         # order never affects results and a resume re-dispatches
         # deterministically.
         xchecked = [False]
+        point_key = jax.random.fold_in(base_key, pi)
+        # group size per dispatch: scan-folded on the jitted fake path
+        grp = scan_n if (is_fake and not use_native) else 1
 
         def dispatch(k: int):
             key = jax.random.fold_in(jax.random.fold_in(base_key, pi), k)
             if is_fake:
                 if not use_native:
+                    if grp > 1:
+                        return sim_step_fake_scan(
+                            point_key, jnp.asarray(k, jnp.int32),
+                            channel.sigma, channel.factor,
+                        )
                     return sim_step_fake(key, channel.sigma, channel.factor)
                 coded = None
                 if native_chan:
@@ -357,7 +394,7 @@ def run_sweep(
             t_disp = time.perf_counter()
             while not stop and len(inflight) < depth:
                 inflight.append(dispatch(next_k))
-                next_k += 1
+                next_k += grp
             t_fetch = time.perf_counter()
             # fetch the oldest half of the window in ONE host transfer
             # (each scalar fetch costs a full round trip on remote
@@ -366,6 +403,8 @@ def run_sweep(
             group = [inflight.popleft() for _ in range(n_fetch)]
             if use_native:  # host ints already; nothing to fetch
                 stacked = np.asarray(group, dtype=np.int64)
+            elif grp > 1:  # scan-folded: each item is already [grp, 2]
+                stacked = np.asarray(jnp.concatenate(group, axis=0))
             else:
                 stacked = np.asarray(
                     jnp.stack([jnp.stack([be, fe]) for be, fe in group])
