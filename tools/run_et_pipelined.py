@@ -31,19 +31,27 @@ from ldpcgputegra_tpu.decoder.twophase import make_twophase_decoder  # noqa: E40
 from ldpcgputegra_tpu.ops.layered import LayeredSpec  # noqa: E402
 from ldpcgputegra_tpu.utils import enable_compile_cache  # noqa: E402
 
-# (code, batch, SNR, algo) — the study's operating points; the second
-# SNR per code is the P(conv<=5)>=0.99 point (ET_convergence.md)
+# (code, batch, SNR, algo, k1) — the study's operating points; the
+# second SNR per code is the P(conv<=5)>=0.99 point (ET_convergence.md).
+# k1 is chosen per point to minimize k1 + (1 - P(conv<=k1)) * iters
+# (the two-phase cost model): at the fat-tail points k1=5 pays a 13-27%
+# phase-2 tail and LOSES to fixed-10 (round-5 rows 0.58x/0.9x); one more
+# phase-1 iteration collapses the tail (4000x2000@2.25: P(conv<=6) =
+# 0.957 vs P(conv<=5) = 0.724) and flips the economics.
 CONFIGS = [
-    ("576x288", 16384, 3.0, "2NMS"),
-    ("576x288", 16384, 3.5, "2NMS"),
-    ("1944x972", 8192, 2.75, "2NMS"),
-    ("1944x972", 8192, 3.25, "2NMS"),
-    ("1944x972", 8192, 3.5, "2NMS"),
-    ("2304x1152", 8192, 2.5, "2NMS"),
-    ("2304x1152", 8192, 3.0, "2NMS"),
-    ("2304x1152", 8192, 3.5, "2NMS"),
-    ("4000x2000", 4096, 2.25, "2NMS"),
-    ("576x288", 16384, 3.0, "OMS"),
+    ("576x288", 16384, 3.0, "2NMS", 5),
+    ("576x288", 16384, 3.5, "2NMS", 5),
+    ("1944x972", 8192, 2.75, "2NMS", 5),
+    ("1944x972", 8192, 3.25, "2NMS", 5),
+    ("1944x972", 8192, 3.5, "2NMS", 5),
+    ("2304x1152", 8192, 2.5, "2NMS", 5),
+    ("2304x1152", 8192, 2.5, "2NMS", 6),
+    ("2304x1152", 8192, 3.0, "2NMS", 5),
+    ("2304x1152", 8192, 3.5, "2NMS", 5),
+    ("4000x2000", 4096, 2.25, "2NMS", 5),
+    ("4000x2000", 4096, 2.25, "2NMS", 6),
+    ("4000x2000", 4096, 2.25, "2NMS", 7),
+    ("576x288", 16384, 3.0, "OMS", 5),
 ]
 # windows must dwarf the one count-fetch RTT (~25 ms) AND relay timing
 # noise: 96 batches put ~0.2-1 s on the wall (VERDICT r4 weak #5 flagged
@@ -55,6 +63,16 @@ REPEATS = 3
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only", default=None,
+        help="substring filter on 'code@snr/algo/kK' — run a subset "
+        "(e.g. 'k6' for the tail-tuned points) without re-measuring "
+        "the already-published rows",
+    )
+    args = ap.parse_args()
     from ldpcgputegra_tpu.utils import apply_platform_env, device_available
 
     apply_platform_env()
@@ -67,11 +85,13 @@ def main() -> None:
     from ldpcgputegra_tpu.channel.awgn import AwgnChannel, ChannelSpec
 
     recs = []
-    for name, batch, snr, algo in CONFIGS:
+    for name, batch, snr, algo, k1 in CONFIGS:
+        if args.only and args.only not in f"{name}@{snr}/{algo}/k{k1}":
+            continue
         code = load_code(name)
         mc = "pre" if algo == "OMS" else "post"
         spec = LayeredSpec(algo=algo, iters=10, minclamp=mc)
-        tp = make_twophase_decoder(code, spec, k1=5)
+        tp = make_twophase_decoder(code, spec, k1=k1)
         d10 = make_decoder(code, spec)
         chan = AwgnChannel(code.N, code.K, ChannelSpec())
         chan.configure(snr)
@@ -142,7 +162,8 @@ def main() -> None:
 
         best = max(mbps, fu_mbps)
         rec = {
-            "code": name, "algo": algo, "snr_db": snr, "batch": batch,
+            "code": name, "algo": algo, "snr_db": snr, "k1": k1,
+            "batch": batch,
             "n_batches": N_BATCH, "wall_s": round(sec, 3),
             "pipelined_twophase_mbps": round(mbps, 1),
             "fused_twophase_mbps": round(fu_mbps, 1),
@@ -176,13 +197,14 @@ def main() -> None:
             "(overflow repaired per window).  `fixed10` is measured with the "
             "same dispatch-all/block-once pattern over the same "
             f"{N_BATCH}-batch windows:\n\n"
-            "| code | algo | SNR | bucketed Mbps | fused Mbps "
+            "| code | algo | SNR | k1 | bucketed Mbps | fused Mbps "
             "| fixed-10 Mbps | best ratio | eff iters | phase-2 frac |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in recs:
             f.write(
                 f"| {r['code']} | {r['algo']} | {r['snr_db']} "
+                f"| {r['k1']} "
                 f"| {r['pipelined_twophase_mbps']} "
                 f"| {r['fused_twophase_mbps']} "
                 f"| {r['fixed10_pipelined_mbps']} | {r['vs_fixed10']}x "
