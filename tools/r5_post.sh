@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-5 post-queue follow-ups (serial, one TPU process at a time):
+#   airscan — scan-folded dispatch rows appended to AIR.md (lifts the
+#             dispatch-bound 576x288 row toward decode-bound)
+#   etk1    — tail-tuned k1=6/7 two-phase points (the k1=5 fat-tail
+#             losses were a k1 choice, not a mechanism limit)
+#   etdiag  — does per-tile iteration predication actually skip?
+cd "$(dirname "$0")/.." || exit 1
+mkdir -p benchmarks/logs
+
+run() { # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "== $name ($(date +%H:%M:%S)) =="
+  timeout "$tmo" "$@" 2>&1 | tee -a "benchmarks/logs/$name.log"
+  local rc=${PIPESTATUS[0]}
+  echo "== $name done rc=$rc ($(date +%H:%M:%S)) =="
+  return "$rc"
+}
+
+run probe 120 python -c "import jax; print(jax.devices())" || exit 1
+run airscan 7200 python tools/run_air_bench.py --scan-only
+run etk1 5400 python tools/run_et_pipelined.py --only k6
+run etk1 3600 python tools/run_et_pipelined.py --only k7
+run etdiag 3600 python tools/et_skip_diag.py
+echo "== r5 post-runbook complete ($(date +%H:%M:%S)) =="
