@@ -69,7 +69,10 @@ CONFIGS = [
 
 
 def bench_one(name: str, batch: int, iters: int, quick: bool,
-              rates: dict | None = None) -> dict:
+              rates: dict | None = None, repeats: int = 1) -> dict:
+    """One suite row; with repeats > 1 the published time is the MIN of
+    R disjoint slope measurements (relay walls jitter ~2x run to run —
+    the ET study's protocol, CLAUDE.md round-5 notes)."""
     code = load_code(name)
     spec = LayeredSpec(algo="OMS", iters=iters, early_term=False)
     backend = backend_for(code, spec)
@@ -82,7 +85,10 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
         for i in range(n_inputs)
     ]
     ks, kl = (2, 6) if quick else (4, 20)
-    sec = measure_call(dec, inputs, k_small=ks, k_large=kl)
+    sec = min(
+        measure_call(dec, inputs, k_small=ks, k_large=kl)
+        for _ in range(max(1, repeats))
+    )
     rep = throughput_report(sec, batch, code.N)
     eff = effective_code(code)
     rates = rates or {}
@@ -212,6 +218,18 @@ def main() -> None:
         "re-paid (the remote compile cache does not survive container "
         "resets)",
     )
+    ap.add_argument(
+        "--remeasure", action="store_true",
+        help="drop the checkpoint's measured rows but KEEP its probed "
+        "ceilings — re-times every config against the warm compile "
+        "cache (minutes, not hours); combine with --repeats for the "
+        "min-of-R relay-jitter protocol",
+    )
+    ap.add_argument(
+        "--repeats", type=int, default=1,
+        help="min-of-R disjoint slope measurements per row (relay walls "
+        "jitter ~2x; the ET study's protocol)",
+    )
     args = ap.parse_args()
     from ..utils import device_available
 
@@ -226,10 +244,16 @@ def main() -> None:
             ck = json.load(f)
         rows, lat_rows = ck["rows"], ck["lat_rows"]
         rates = ck.get("rates")
-        print(
-            f"(II) resuming: {len(rows)} rows + {len(lat_rows)} latency "
-            f"rows from {CKPT}", flush=True,
-        )
+        if args.remeasure:
+            print(f"(II) --remeasure: dropping {len(rows)} measured rows "
+                  f"(+{len(lat_rows)} latency), keeping probed ceilings",
+                  flush=True)
+            rows, lat_rows = [], []
+        else:
+            print(
+                f"(II) resuming: {len(rows)} rows + {len(lat_rows)} "
+                f"latency rows from {CKPT}", flush=True,
+            )
     if rates is None:
         rates = probe_rates()
         _ckpt_save(rows, lat_rows, rates)
@@ -243,7 +267,8 @@ def main() -> None:
                 continue
             t0 = time.time()
             try:
-                r = bench_one(name, batch, iters, args.quick, rates)
+                r = bench_one(name, batch, iters, args.quick, rates,
+                              repeats=args.repeats)
             except Exception as e:  # noqa: BLE001
                 print(f"(EE) {name}@{iters}it failed: {e}")
                 continue
