@@ -18,8 +18,14 @@ run() { # name timeout cmd...
 }
 
 run probe 120 python -c "import jax; print(jax.devices())" || exit 1
+# re-time every suite row min-of-3 against the warm compile cache: the
+# first pass's single-shot rows carry ~2x relay wall jitter (2304x1152
+# 10it measured 7.07 ms vs round-4's 5.39 under host contention)
+run remeasure 7200 python -m ldpcgputegra_tpu.bench.suite --remeasure --repeats 3
 run airscan 7200 python tools/run_air_bench.py --scan-only
 run etk1 5400 python tools/run_et_pipelined.py --only k6
 run etk1 3600 python tools/run_et_pipelined.py --only k7
 run etdiag 3600 python tools/et_skip_diag.py
+# CPU-only: regenerate the roofline audit (now incl. streamed rows)
+run audit 3600 python tools/audit_ops.py
 echo "== r5 post-runbook complete ($(date +%H:%M:%S)) =="
