@@ -65,6 +65,11 @@ CONFIGS = [
     # DVB-S2 rate extremes (9/10 and 8/9)
     ("64800x6480-dvbs2", 256, {}, (10,)),
     ("64800x7200-dvbs2", 256, {}, (10,)),
+    # the beyond-VMEM synthetic QC workload (786k edges, N=262144): the
+    # only code that REQUIRES pallas-streamed — its published row is the
+    # kernel's existence proof (VERDICT r4 #5); batch matches
+    # hw_validate's STREAMED_ONLY pair so the executable is cache-shared
+    ("synthqc-256x128x6-z1024", 256, {}, (10,)),
 ]
 
 
