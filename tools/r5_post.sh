@@ -18,6 +18,12 @@ run() { # name timeout cmd...
 }
 
 run probe 120 python -c "import jax; print(jax.devices())" || exit 1
+# FIRST: the BER spot check.  Round 4 claimed it DONE without running
+# it; the round-5 first session ran it but its BER.md append was never
+# committed (lost with the container reset) — the records must land in
+# the committed BER.md this time, before anything else can preempt the
+# window.
+run spotcheck 5400 python tools/ber_spotcheck.py
 # re-time every suite row min-of-3 against the warm compile cache: the
 # first pass's single-shot rows carry ~2x relay wall jitter (2304x1152
 # 10it measured 7.07 ms vs round-4's 5.39 under host contention)
