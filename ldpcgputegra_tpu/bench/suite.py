@@ -149,7 +149,8 @@ def bench_one(name: str, batch: int, iters: int, quick: bool,
     }
 
 
-def bench_latency(name: str, iters: int, quick: bool) -> dict:
+def bench_latency(name: str, iters: int, quick: bool,
+                  repeats: int = 1) -> dict:
     """Minimum-batch (one 128-lane tile) decode latency — the reference's
     latency axis (``code/ldpc_decoder_arm/main.cpp:612-625`` reports
     per-frame latency alongside Mbps; the paper quotes the per-stage
@@ -168,7 +169,10 @@ def bench_latency(name: str, iters: int, quick: bool) -> dict:
         for i in range(n_inputs)
     ]
     ks, kl = (2, 6) if quick else (4, 20)
-    sec = measure_call(dec, inputs, k_small=ks, k_large=kl)
+    sec = min(
+        measure_call(dec, inputs, k_small=ks, k_large=kl)
+        for _ in range(max(1, repeats))
+    )
     return {
         "code": name,
         "backend": backend,
@@ -296,7 +300,8 @@ def main() -> None:
         if name in lat_done:
             continue
         try:
-            r = bench_latency(name, 10, args.quick)
+            r = bench_latency(name, 10, args.quick,
+                              repeats=args.repeats)
         except Exception as e:  # noqa: BLE001
             print(f"(EE) latency {name} failed: {e}")
             continue
