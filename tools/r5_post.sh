@@ -24,10 +24,16 @@ run probe 120 python -c "import jax; print(jax.devices())" || exit 1
 # the committed BER.md this time, before anything else can preempt the
 # window.
 run spotcheck 5400 python tools/ber_spotcheck.py
+# the gather pairs the 3-hour validate timeout cut off (VERDICT r4 #1c:
+# the 20000x10000 stream-mode pair and the 9972x4986 sub=8 pair)
+run validate_gather 5400 python tools/hw_validate.py --which gather
 # re-time every suite row min-of-3 against the warm compile cache: the
 # first pass's single-shot rows carry ~2x relay wall jitter (2304x1152
 # 10it measured 7.07 ms vs round-4's 5.39 under host contention)
 run remeasure 7200 python -m ldpcgputegra_tpu.bench.suite --remeasure --repeats 3
+# rerun of the crashed profile (per-variant failure now caught; adds
+# the production-relevant full_tb128 A/B) — compiles all cached
+run profile16200 3600 python tools/profile_16200.py
 run airscan 7200 python tools/run_air_bench.py --scan-only
 run etk1 5400 python tools/run_et_pipelined.py --only k6
 run etk1 3600 python tools/run_et_pipelined.py --only k7
