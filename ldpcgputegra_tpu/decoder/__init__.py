@@ -60,11 +60,11 @@ def effective_code(code: LdpcCode) -> LdpcCode:
     return _qc_view_cache[code.name] or code
 
 
-def _pallas_fits(code: LdpcCode) -> bool:
+def _pallas_fits(code: LdpcCode, early_term: bool = False) -> bool:
     from ..kernels.pallas_layered import pick_batch_tile, vmem_per_lane
 
-    tb = pick_batch_tile(code)
-    return tb * vmem_per_lane(code) <= (100 << 20)
+    tb = pick_batch_tile(code, early_term=early_term)
+    return tb * vmem_per_lane(code, early_term) <= (100 << 20)
 
 
 # Gather compile ceiling, measured on the v5e remote compile service
@@ -99,7 +99,8 @@ def backend_for(code: LdpcCode, spec: LayeredSpec, backend: str = "auto") -> str
     if backend == "auto":
         if _on_tpu():
             if pallas_supported(code, spec):
-                return "pallas" if _pallas_fits(code) else "pallas-streamed"
+                return ("pallas" if _pallas_fits(code, spec.early_term)
+                        else "pallas-streamed")
             if gather_supported(code, spec):
                 # chunked FIRST: it measured faster than the unrolled
                 # kernel even where both compile (4000x2000 on silicon,

@@ -389,13 +389,18 @@ def vmem_per_lane(code: LdpcCode, early_term: bool = False) -> int:
     return int(base * zp_f) + 16 * maxdeg * int(z * zp_f)
 
 
-def pick_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20) -> int:
+def pick_batch_tile(code: LdpcCode, vmem_budget: int = 100 << 20,
+                    early_term: bool = False) -> int:
     """Lane tile whose working set fits VMEM (v5e-class chips have
     ~128 MB; the 16 MB figure often quoted is only the default scoped
     limit).  Capped at 256: measured throughput on v5e peaks there —
     larger tiles fit but run ~30% slower (bigger live sets scheduler
-    worse), smaller ones under-utilize lanes."""
-    per_lane = vmem_per_lane(code)
+    worse), smaller ones under-utilize lanes.  ``early_term`` must match
+    the kernel being built: the ET snapshot adds N int8 per lane, which
+    flips the fit verdict on DVB-S2-scale codes (the first on-chip ET
+    decode of 64800x32400 OOM'd scoped VMEM because the tile was picked
+    against the non-ET footprint — round-5 spot-check find)."""
+    per_lane = vmem_per_lane(code, early_term)
     tb = 256
     while tb > 128 and tb * per_lane > vmem_budget:
         tb //= 2
@@ -437,7 +442,8 @@ def make_pallas_decoder(
     Zp = -(-Z // 8) * 8  # sublane-aligned layout (odd-Z emulated rolls)
     Nb = code.N // Z
     n_msg_slabs = sum(l.deg for l in code.layers)
-    TB_max = batch_tile if batch_tile is not None else pick_batch_tile(code)
+    TB_max = (batch_tile if batch_tile is not None
+              else pick_batch_tile(code, early_term=spec.early_term))
     kernels: dict[int, object] = {}
 
     def _tile_for(B: int) -> int:

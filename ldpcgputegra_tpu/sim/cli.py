@@ -209,7 +209,7 @@ def _print_info(cfg: SweepConfig) -> None:
     if backend == "pallas":
         from ..kernels.pallas_layered import pick_batch_tile
 
-        tb = pick_batch_tile(eff)
+        tb = pick_batch_tile(eff, early_term=spec.early_term)
         print(f"(II) lane tile    : {tb}")
         vmem = tb * (8 * eff.N + eff.M) / 1e6
         print(f"(II) est. VMEM    : {vmem:.1f} MB (APP int32 + messages)")

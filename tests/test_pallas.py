@@ -221,3 +221,30 @@ def test_pallas_emit_mask_subpass_oddz():
     bits, ok = np.asarray(bits), np.asarray(ok)
     np.testing.assert_array_equal(ok, np.asarray(syndrome_fn(code)(bits)))
     assert 0 < ok.sum() < 128  # mixed batch: the pin is non-trivial
+
+
+def test_et_footprint_flips_fit_verdict_on_dvbs2():
+    """Round-5 spot-check find: the first on-chip ET decode of
+    64800x32400 OOM'd scoped VMEM because pick_batch_tile sized the
+    tile against the NON-ET footprint (vmem_per_lane defaults
+    early_term=False) while the kernel allocated the ET snapshot too.
+    The fit verdict must be computed against the footprint of the
+    kernel actually built."""
+    from ldpcgputegra_tpu.codes.registry import load_code
+    from ldpcgputegra_tpu.decoder import _pallas_fits, effective_code
+    from ldpcgputegra_tpu.kernels.pallas_layered import (
+        pick_batch_tile,
+        vmem_per_lane,
+    )
+
+    code = effective_code(load_code("64800x32400"))
+    # the non-ET kernel fits the all-VMEM budget at its picked tile...
+    assert _pallas_fits(code, early_term=False)
+    # ...the ET snapshot (+N int8/lane) pushes it over: auto-routing
+    # must fall back (pallas-streamed supports snapshot ET and fits)
+    assert not _pallas_fits(code, early_term=True)
+    # and the tile picker must charge the ET footprint it builds with
+    tb_et = pick_batch_tile(code, early_term=True)
+    tb_no = pick_batch_tile(code, early_term=False)
+    assert tb_et * vmem_per_lane(code, True) <= \
+        tb_no * vmem_per_lane(code, True)

@@ -150,71 +150,91 @@ def stored_point(code, algo, iters, snr):
 
 
 def main() -> None:
+    import argparse
+
     import numpy as np
 
     from ldpcgputegra_tpu.utils import device_available
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="substring filter on the code name — rerun a "
+                    "single failed spot without repeating the rest")
+    args = ap.parse_args()
 
     if not device_available():
         print("(EE) backend unavailable (TPU relay down); aborting")
         return
     recs = []
     fatal = None
+    crash = None
     for spot in SPOTS:
-        code, algo, iters, snr, batch, nb = spot
-        with tempfile.TemporaryDirectory() as td:
-            tpu_npz = os.path.join(td, "tpu.npz")
-            cpu_npz = os.path.join(td, "cpu.npz")
-            # stage 2: channel divergence (same keys, both backends)
-            _run(_CHAN_SNIPPET, [code, snr, batch, nb, tpu_npz], {},
-                 "CHAN")
-            _run(_CHAN_SNIPPET, [code, snr, batch, nb, cpu_npz],
-                 {"JAX_PLATFORMS": "cpu"}, "CHAN")
-            zt, zc = np.load(tpu_npz), np.load(cpu_npz)
-            chan_diff = sum(
-                int((zt[k] != zc[k]).sum()) for k in zt.files
-            )
-            n_samples = sum(zt[k].size for k in zt.files)
-            # stage 1: decoder bit-exactness on IDENTICAL inputs (the
-            # TPU-generated llrs decoded by both backends)
-            dt = _run(_DEC_SNIPPET, [code, algo, iters, tpu_npz], {},
-                      "DEC")
-            dc = _run(_DEC_SNIPPET, [code, algo, iters, tpu_npz],
-                      {"JAX_PLATFORMS": "cpu"}, "DEC")
-        dec_same = (dt["frames"], dt["be"], dt["fe"]) == (
-            dc["frames"], dc["be"], dc["fe"])
-        # stage 3: end-to-end sweep counters
-        tpu = _run(_SWEEP_SNIPPET, [code, algo, iters, snr, batch, nb],
-                   {}, "SPOT")
-        cpu = _run(_SWEEP_SNIPPET, [code, algo, iters, snr, batch, nb],
-                   {"JAX_PLATFORMS": "cpu"}, "SPOT")
-        e2e_same = (tpu["frames"], tpu["be"], tpu["fe"]) == (
-            cpu["frames"], cpu["be"], cpu["fe"])
-        rec = {
-            "code": code, "algo": algo, "iters": iters, "snr_db": snr,
-            "frames": tpu["frames"],
-            "decoder_counters_identical_on_same_llrs": dec_same,
-            "channel_diff_samples": chan_diff,
-            "channel_samples": n_samples,
-            "tpu": {"be": tpu["be"], "fe": tpu["fe"],
-                    "backend": tpu["backend"]},
-            "cpu": {"be": cpu["be"], "fe": cpu["fe"]},
-            "e2e_counters_identical": e2e_same,
-            "e2e_fe_diff_bounded_by_channel":
-                abs(tpu["fe"] - cpu["fe"]) <= chan_diff,
-        }
-        st = stored_point(code, algo, iters, snr)
-        if st is not None and tpu["frames"]:
-            fer = tpu["fe"] / tpu["frames"]
-            p0 = st["fer"]
-            sig = math.sqrt(max(p0 * (1 - p0), 1e-12) / tpu["frames"])
-            rec["stored_fer"] = p0
-            rec["tpu_fer"] = fer
-            rec["within_4sigma_of_stored"] = abs(fer - p0) <= 4 * sig + 1e-12
-        recs.append(rec)
-        print("(SPOT) " + json.dumps(rec), flush=True)
-        if not dec_same:
-            fatal = f"(EE) {code}: DECODERS not bit-exact on same LLRs"
-            break
+      try:
+          code, algo, iters, snr, batch, nb = spot
+          if args.only and args.only not in code:
+              continue
+          with tempfile.TemporaryDirectory() as td:
+              tpu_npz = os.path.join(td, "tpu.npz")
+              cpu_npz = os.path.join(td, "cpu.npz")
+              # stage 2: channel divergence (same keys, both backends)
+              _run(_CHAN_SNIPPET, [code, snr, batch, nb, tpu_npz], {},
+                   "CHAN")
+              _run(_CHAN_SNIPPET, [code, snr, batch, nb, cpu_npz],
+                   {"JAX_PLATFORMS": "cpu"}, "CHAN")
+              zt, zc = np.load(tpu_npz), np.load(cpu_npz)
+              chan_diff = sum(
+                  int((zt[k] != zc[k]).sum()) for k in zt.files
+              )
+              n_samples = sum(zt[k].size for k in zt.files)
+              # stage 1: decoder bit-exactness on IDENTICAL inputs (the
+              # TPU-generated llrs decoded by both backends)
+              dt = _run(_DEC_SNIPPET, [code, algo, iters, tpu_npz], {},
+                        "DEC")
+              dc = _run(_DEC_SNIPPET, [code, algo, iters, tpu_npz],
+                        {"JAX_PLATFORMS": "cpu"}, "DEC")
+          dec_same = (dt["frames"], dt["be"], dt["fe"]) == (
+              dc["frames"], dc["be"], dc["fe"])
+          # stage 3: end-to-end sweep counters
+          tpu = _run(_SWEEP_SNIPPET, [code, algo, iters, snr, batch, nb],
+                     {}, "SPOT")
+          cpu = _run(_SWEEP_SNIPPET, [code, algo, iters, snr, batch, nb],
+                     {"JAX_PLATFORMS": "cpu"}, "SPOT")
+          e2e_same = (tpu["frames"], tpu["be"], tpu["fe"]) == (
+              cpu["frames"], cpu["be"], cpu["fe"])
+          rec = {
+              "code": code, "algo": algo, "iters": iters, "snr_db": snr,
+              "frames": tpu["frames"],
+              "decoder_counters_identical_on_same_llrs": dec_same,
+              "channel_diff_samples": chan_diff,
+              "channel_samples": n_samples,
+              "tpu": {"be": tpu["be"], "fe": tpu["fe"],
+                      "backend": tpu["backend"]},
+              "cpu": {"be": cpu["be"], "fe": cpu["fe"]},
+              "e2e_counters_identical": e2e_same,
+              "e2e_fe_diff_bounded_by_channel":
+                  abs(tpu["fe"] - cpu["fe"]) <= chan_diff,
+          }
+          st = stored_point(code, algo, iters, snr)
+          if st is not None and tpu["frames"]:
+              fer = tpu["fe"] / tpu["frames"]
+              p0 = st["fer"]
+              sig = math.sqrt(max(p0 * (1 - p0), 1e-12) / tpu["frames"])
+              rec["stored_fer"] = p0
+              rec["tpu_fer"] = fer
+              rec["within_4sigma_of_stored"] = abs(fer - p0) <= 4 * sig + 1e-12
+          recs.append(rec)
+          print("(SPOT) " + json.dumps(rec), flush=True)
+          if not dec_same:
+              fatal = f"(EE) {code}: DECODERS not bit-exact on same LLRs"
+              break
+      except SystemExit:
+          raise
+      except Exception as e:  # noqa: BLE001
+          # a crashed spot (compile failure, relay hiccup) must not
+          # forfeit the records already measured — the round-5 64800
+          # ET-VMEM crash lost three good records to the tail writer
+          crash = f"(EE) {code}: {type(e).__name__}: {e}"
+          print(crash, flush=True)
 
     out = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
                        "BER.md")
@@ -240,6 +260,9 @@ def main() -> None:
         for r in recs:
             f.write(json.dumps(r) + "\n")
         f.write("```\n")
+        if crash:
+            f.write(f"\n{crash} — that spot is NOT covered by this "
+                    "run.\n")
     print(f"(II) appended to {out}")
     if fatal:
         raise SystemExit(fatal)
